@@ -1,0 +1,84 @@
+"""Render configuration: the single config surface for every constant the
+reference hard-codes or compiles in (SURVEY.md §5 "Config / flag system").
+
+Reference sources for defaults:
+- max_samples=1024, exposure=3.0: include/Raytracer.hpp:39-41
+- fov 45 degrees (tanHalfFov = tan(22.5 deg)): src/Raytracer.cpp:321
+- recursion: pipeline cap 8 (src/util/PipelineBuilder.cpp:172), integrator
+  bounce cap `depth++ < 7` (shaders/triangle.rchit:192)
+- sky color (0.4, 0.5, 0.6): shaders/raytrace.rmiss:11
+- eta_i=1.0 / eta_t=1.5: shaders/triangle.rchit:9-10 (the shader ignores the
+  per-material ior and uses these constants)
+- russian-roulette threshold 0.995: shaders/triangle.rchit:203
+- t_max 999999999.0: shaders/raytrace.rgen:71
+- shadow/bounce ray origin offset 0.01 along the normal: triangle.rchit:77,211
+- emissive-without-texture x200 fallback: triangle.rchit:175-178
+- default sphere lights: src/main.cpp:27-31
+- default window 640x480: src/main.cpp:18
+- frames in flight 3: include/Config.hpp:7
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SphereLight:
+    """A sphere area light (reference `Sphere`,
+    include/util/AccelerationStructureBuilder.hpp:7-11): position + radius,
+    rgb color + scalar intensity (color.a in the reference's LightData)."""
+
+    position: Tuple[float, float, float]
+    radius: float
+    color: Tuple[float, float, float]
+    intensity: float
+
+
+# The three hard-coded lights from the reference composition root
+# (src/main.cpp:27-31); positioned for the Sponza sample scene.
+DEFAULT_SPONZA_LIGHTS = (
+    SphereLight((-8.3395, -5.76978, -2.3374), 0.1, (0.8, 0.6, 0.6), 500.0),
+    SphereLight((8.9656, -5.76978, -2.6374), 0.1, (0.4, 0.7, 0.6), 500.0),
+    SphereLight((155.73348522, -1000.92734623, 140.05059690), 50.0, (0.9, 0.9, 0.7), 1000.0),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All render-time knobs. Field defaults replicate the reference."""
+
+    width: int = 640
+    height: int = 480
+    max_samples: int = 1024          # Raytracer.hpp:39
+    exposure: float = 3.0            # Raytracer.hpp:41
+    fov_degrees: float = 45.0        # Raytracer.cpp:321
+    max_depth: int = 7               # triangle.rchit:192 (bounces beyond camera hit)
+    samples_per_launch: int = 1      # nSamples, raytrace.rgen:33
+    t_max: float = 999999999.0       # raytrace.rgen:71
+    t_min: float = 0.0
+    ray_offset: float = 0.01         # triangle.rchit:77,103,211
+    rr_threshold: float = 0.995      # triangle.rchit:203
+    sky_color: Tuple[float, float, float] = (0.4, 0.5, 0.6)  # raytrace.rmiss:11
+    eta_i: float = 1.0               # triangle.rchit:9
+    eta_t: float = 1.5               # triangle.rchit:10
+    emissive_untextured_scale: float = 200.0  # triangle.rchit:178
+    # Max re-traversals to resolve alpha-tested (any-hit) transparency; the
+    # reference's ignoreIntersectionEXT (raytrace.rahit:57-58) can in principle
+    # skip arbitrarily many surfaces, a fixed cap keeps shapes static on TPU.
+    max_alpha_skips: int = 8
+    # RNG seed; the reference seeds from wall-clock time bits
+    # (raytrace.rgen:45); we default to a fixed seed for reproducibility.
+    seed: int = 0
+
+    @property
+    def tan_half_fov(self) -> float:
+        """tanHalfFov push constant (Raytracer.cpp:321)."""
+        return math.tan(math.radians(self.fov_degrees) / 2.0)
+
+    @property
+    def aspect_ratio(self) -> float:
+        """aspectRatio push constant (Raytracer.cpp:319-320)."""
+        return self.width / self.height
