@@ -1,0 +1,266 @@
+"""Device scene: flat SoA jnp arrays consumed by the kernels.
+
+TPU-first layout decisions (vs. the reference's GPU buffer set,
+src/Raytracer.cpp:11-126 bindings):
+
+- Triangle attributes are pre-gathered per-triangle at load time: the hot
+  shading path does ONE gather by triangle id instead of the reference's
+  four-level indirection (instanceCustomIndex -> geometryIndices ->
+  GeometryData -> index buffer -> attribute buffers,
+  shaders/triangle.rchit:120-150). Random gathers are the expensive
+  operation on TPU; this trades ~4x scene memory (tens of MB for Sponza)
+  for 4x fewer of them.
+- Vertex normals are pre-multiplied by the geometry's normal matrix
+  (coordFlip*R, ModelLoader.cpp:550): barycentric interpolation commutes
+  with the linear map, so `normalize(M @ interp(n))` == `normalize(interp(M
+  @ n))` — bit-equal semantics to triangle.rchit:148 with zero per-hit
+  matrix loads.
+- Tangents stay raw object-space vectors: the reference never transforms
+  them (triangle.rchit:150 normalizes the interpolated attribute directly) —
+  a quirk we replicate.
+- All textures live in one big RGBA8 atlas with a per-texture region/
+  sampler-state table, so texture fetches are gathers into a single array
+  (no ragged per-texture arrays, which XLA cannot trace).
+- Sphere lights are a small (L, 8) array; they are intersected analytically
+  (replacing the procedural-AABB BLAS, AccelerationStructureBuilder.cpp:192-243).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt.config import SphereLight
+from tpurt.scene.types import NO_TEXTURE, SceneData
+
+
+class Materials(NamedTuple):
+    """SoA mirror of the reference Material SSBO (ModelLoader.hpp:77-94)."""
+
+    albedo_scale: jnp.ndarray    # (M, 4)
+    roughness: jnp.ndarray       # (M,)
+    metallic: jnp.ndarray        # (M,)
+    normal_factor: jnp.ndarray   # (M,)
+    ior: jnp.ndarray             # (M,)
+    emissive: jnp.ndarray        # (M, 4)
+    alpha_cutoff: jnp.ndarray    # (M,)
+    tex_albedo: jnp.ndarray      # (M,) i32, NO_TEXTURE if absent
+    tex_mr: jnp.ndarray          # (M,) i32
+    tex_normal: jnp.ndarray      # (M,) i32
+    tex_emissive: jnp.ndarray    # (M,) i32
+
+
+class DeviceScene(NamedTuple):
+    tri_pos: jnp.ndarray      # (T, 3, 3) world-space vertices
+    tri_normal: jnp.ndarray   # (T, 3, 3) normal-matrix-premultiplied vertex normals
+    tri_tangent: jnp.ndarray  # (T, 3, 4) raw tangents
+    tri_uv: jnp.ndarray       # (T, 3, 2)
+    tri_mat: jnp.ndarray      # (T,) i32 material index
+    tri_alpha: jnp.ndarray    # (T,) bool, geometry is alpha tested
+    materials: Materials
+    atlas: jnp.ndarray        # (AH, AW, 4) uint8
+    tex_table: jnp.ndarray    # (NT, 8) i32: x, y, w, h, wrap_s, wrap_t, filter, srgb
+    lights: jnp.ndarray       # (L, 8) f32: px, py, pz, radius, r, g, b, intensity
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_pos.shape[0]
+
+    @property
+    def num_lights(self) -> int:
+        return self.lights.shape[0]
+
+
+def lights_array(lights: Sequence[SphereLight]) -> np.ndarray:
+    """Pack sphere lights like the reference LightData buffer
+    (AccelerationStructureBuilder.cpp:245-266: vec4 position=(pos, radius),
+    vec4 color=(rgb, intensity))."""
+    out = np.zeros((len(lights), 8), np.float32)
+    for i, l in enumerate(lights):
+        out[i, :3] = l.position
+        out[i, 3] = l.radius
+        out[i, 4:7] = l.color
+        out[i, 7] = l.intensity
+    return out
+
+
+def _pack_atlas(scene: SceneData) -> Tuple[np.ndarray, np.ndarray]:
+    """Shelf-pack all images into one RGBA8 atlas.
+
+    Returns (atlas (AH,AW,4) uint8, tex_table (NT,8) int32). Each glTF
+    texture gets a table row [x, y, w, h, wrap_s, wrap_t, filter, srgb];
+    textures sharing an image share the region.
+    """
+    if not scene.images:
+        atlas = np.zeros((8, 128, 4), np.uint8)
+        table = np.zeros((1, 8), np.int32)
+        table[0, 2:4] = [1, 1]
+        return atlas, table
+
+    # place images: sort by height desc for shelf packing
+    order = sorted(range(len(scene.images)), key=lambda i: -scene.images[i].data.shape[0])
+    max_w = max(img.data.shape[1] for img in scene.images)
+    atlas_w = max(128, 1 << int(np.ceil(np.log2(max_w))))
+    # grow width if total area suggests a squarer atlas
+    total_area = sum(img.data.shape[0] * img.data.shape[1] for img in scene.images)
+    while atlas_w * atlas_w < total_area and atlas_w < 16384:
+        atlas_w *= 2
+
+    placements = {}
+    x, y, shelf_h = 0, 0, 0
+    for i in order:
+        h, w = scene.images[i].data.shape[:2]
+        if x + w > atlas_w:
+            y += shelf_h
+            x, shelf_h = 0, 0
+        placements[i] = (x, y)
+        x += w
+        shelf_h = max(shelf_h, h)
+    atlas_h = y + shelf_h
+    # round up to the f32 sublane multiple so later reshapes tile cleanly
+    atlas_h = int(np.ceil(atlas_h / 8.0) * 8)
+
+    atlas = np.zeros((atlas_h, atlas_w, 4), np.uint8)
+    for i, (px, py) in placements.items():
+        img = scene.images[i].data
+        atlas[py : py + img.shape[0], px : px + img.shape[1]] = img
+
+    table = np.zeros((max(len(scene.textures), 1), 8), np.int32)
+    for t, tex in enumerate(scene.textures):
+        px, py = placements[tex.image_index]
+        img = scene.images[tex.image_index]
+        h, w = img.data.shape[:2]
+        table[t] = [px, py, w, h, tex.wrap_s, tex.wrap_t, tex.filter, int(img.srgb)]
+    if not scene.textures:
+        table[0, 2:4] = [1, 1]
+    return atlas, table
+
+
+def _materials_soa(scene: SceneData) -> Materials:
+    mats = scene.materials if scene.materials else []
+    m = max(len(mats), 1)
+
+    def arr(get, shape, dtype=np.float32, default=0):
+        out = np.full((m,) + shape, default, dtype)
+        for i, mat in enumerate(mats):
+            out[i] = get(mat)
+        return jnp.asarray(out)
+
+    return Materials(
+        albedo_scale=arr(lambda t: t.albedo_scale, (4,)),
+        roughness=arr(lambda t: t.roughness_factor, ()),
+        metallic=arr(lambda t: t.metallic_factor, ()),
+        normal_factor=arr(lambda t: t.normal_map_factor, ()),
+        ior=arr(lambda t: t.ior, (), default=1.5),
+        emissive=arr(lambda t: t.emissive_factor, (4,)),
+        alpha_cutoff=arr(lambda t: t.alpha_cutoff, ()),
+        tex_albedo=arr(lambda t: t.albedo_texture, (), np.int32, NO_TEXTURE),
+        tex_mr=arr(lambda t: t.metallic_roughness_texture, (), np.int32, NO_TEXTURE),
+        tex_normal=arr(lambda t: t.normal_texture, (), np.int32, NO_TEXTURE),
+        tex_emissive=arr(lambda t: t.emissive_texture, (), np.int32, NO_TEXTURE),
+    )
+
+
+def build_device_scene(
+    scene: SceneData,
+    lights: Sequence[SphereLight] = (),
+    pad_multiple: int = 128,
+) -> DeviceScene:
+    """Flatten a loaded SceneData into the DeviceScene SoA pytree.
+
+    Geometry is de-instantiated exactly like the reference (each glTF
+    primitive instance contributes its own world-space triangles,
+    ModelLoader.cpp:578). The triangle list is padded to `pad_multiple` by
+    repeating triangle 0 (harmless duplicates) so downstream kernels see
+    lane-aligned shapes.
+    """
+    pos_chunks, nrm_chunks, tan_chunks, uv_chunks = [], [], [], []
+    mat_chunks, alpha_chunks = [], []
+
+    for geom in scene.geometries:
+        idx = scene.indices[geom.index_offset : geom.index_offset + geom.index_count]
+        idx = idx.reshape(-1, 3).astype(np.int64)
+        v = scene.positions[geom.vertex_offset + idx]  # (t, 3, 3) object space
+        vh = np.concatenate([v, np.ones_like(v[..., :1])], axis=-1)
+        vw = np.einsum("ij,tkj->tki", geom.transform, vh)[..., :3].astype(np.float32)
+        pos_chunks.append(vw)
+
+        t = idx.shape[0]
+        if geom.has_normals:
+            n = scene.normals[geom.normal_offset + idx]
+            nw = np.einsum("ij,tkj->tki", geom.normal_transform, n).astype(np.float32)
+        else:
+            # reference shaders would read garbage normals; we use the
+            # geometric normal of the world-space triangle instead
+            e1 = vw[:, 1] - vw[:, 0]
+            e2 = vw[:, 2] - vw[:, 0]
+            fn = np.cross(e1, e2)
+            fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+            nw = np.repeat(fn[:, None, :], 3, axis=1).astype(np.float32)
+        nrm_chunks.append(nw)
+
+        if geom.has_tangents:
+            tan_chunks.append(scene.tangents[geom.tangent_offset + idx].astype(np.float32))
+        else:
+            tan_chunks.append(np.zeros((t, 3, 4), np.float32))
+        if geom.has_uvs:
+            uv_chunks.append(scene.uvs[geom.uv_offset + idx].astype(np.float32))
+        else:
+            uv_chunks.append(np.zeros((t, 3, 2), np.float32))
+
+        mat_chunks.append(np.full(t, geom.material_index, np.int32))
+        alpha_chunks.append(np.full(t, geom.is_alpha_tested, bool))
+
+    if pos_chunks:
+        tri_pos = np.concatenate(pos_chunks)
+        tri_normal = np.concatenate(nrm_chunks)
+        tri_tangent = np.concatenate(tan_chunks)
+        tri_uv = np.concatenate(uv_chunks)
+        tri_mat = np.concatenate(mat_chunks)
+        tri_alpha = np.concatenate(alpha_chunks)
+    else:
+        tri_pos = np.zeros((0, 3, 3), np.float32)
+        tri_normal = np.zeros((0, 3, 3), np.float32)
+        tri_tangent = np.zeros((0, 3, 4), np.float32)
+        tri_uv = np.zeros((0, 3, 2), np.float32)
+        tri_mat = np.zeros(0, np.int32)
+        tri_alpha = np.zeros(0, bool)
+
+    t = tri_pos.shape[0]
+    padded = max(pad_multiple, int(np.ceil(max(t, 1) / pad_multiple) * pad_multiple))
+    if t < padded:
+        reps = padded - t
+        if t > 0:
+            pad_idx = np.zeros(reps, np.int64)
+            tri_pos = np.concatenate([tri_pos, tri_pos[pad_idx]])
+            tri_normal = np.concatenate([tri_normal, tri_normal[pad_idx]])
+            tri_tangent = np.concatenate([tri_tangent, tri_tangent[pad_idx]])
+            tri_uv = np.concatenate([tri_uv, tri_uv[pad_idx]])
+            tri_mat = np.concatenate([tri_mat, tri_mat[pad_idx]])
+            tri_alpha = np.concatenate([tri_alpha, tri_alpha[pad_idx]])
+        else:
+            # empty scene: degenerate zero-area triangles never hit
+            tri_pos = np.zeros((padded, 3, 3), np.float32)
+            tri_normal = np.zeros((padded, 3, 3), np.float32)
+            tri_normal[:, :, 1] = 1.0
+            tri_tangent = np.zeros((padded, 3, 4), np.float32)
+            tri_uv = np.zeros((padded, 3, 2), np.float32)
+            tri_mat = np.zeros(padded, np.int32)
+            tri_alpha = np.zeros(padded, bool)
+
+    atlas, tex_table = _pack_atlas(scene)
+
+    return DeviceScene(
+        tri_pos=jnp.asarray(tri_pos),
+        tri_normal=jnp.asarray(tri_normal),
+        tri_tangent=jnp.asarray(tri_tangent),
+        tri_uv=jnp.asarray(tri_uv),
+        tri_mat=jnp.asarray(tri_mat),
+        tri_alpha=jnp.asarray(tri_alpha),
+        materials=_materials_soa(scene),
+        atlas=jnp.asarray(atlas),
+        tex_table=jnp.asarray(tex_table),
+        lights=jnp.asarray(lights_array(list(lights))),
+    )
