@@ -1,0 +1,231 @@
+"""Device-built LBVH: Morton codes + radix-tree linking + AABB refit.
+
+Replaces `VkAccelerationStructureKHR` and the driver-side build
+(`vkCmdBuildAccelerationStructuresKHR`, reference
+src/util/AccelerationStructureBuilder.cpp:322,484) with a fully jittable
+construction that runs on-device:
+
+1. 30-bit Morton codes over primitive-centroid positions normalized to the
+   scene AABB,
+2. `jax.lax.sort` of (morton, primitive id) pairs,
+3. Karras-2012 binary radix-tree linking — every internal node computed
+   independently (perfectly data-parallel, ideal for the VPU),
+4. bottom-up AABB refit by fixed-depth sweeps (the tie-broken 60-bit key
+   bounds tree depth, so a static number of passes converges).
+
+The reference's 8-way spatial partition into multiple BLASes
+(AccelerationStructureBuilder.cpp:12,41-58) exists to improve GPU BVH
+quality per driver build; under a single LBVH it is unnecessary
+(SURVEY.md §7 stage 4). Two-level instancing is skipped for the same reason
+the reference flattens instances (ModelLoader.cpp:578).
+
+Node layout (N primitives => N-1 internal nodes, N leaves):
+- `left`, `right`: (N-1,) i32 child pointers; value k < N-1 is internal node
+  k, value k >= N-1 is leaf (k - (N-1)) in sorted order.
+- `node_min`, `node_max`: (2N-1, 3) AABBs; internal nodes at [0, N-1),
+  leaves at [N-1, 2N-1).
+- `leaf_prim`: (N,) i32 original primitive index for each sorted leaf.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LBVH(NamedTuple):
+    left: jnp.ndarray       # (N-1,) i32
+    right: jnp.ndarray      # (N-1,) i32
+    node_min: jnp.ndarray   # (2N-1, 3) f32
+    node_max: jnp.ndarray   # (2N-1, 3) f32
+    leaf_prim: jnp.ndarray  # (N,) i32
+
+    @property
+    def num_leaves(self) -> int:
+        return self.leaf_prim.shape[0]
+
+    @property
+    def num_internal(self) -> int:
+        return self.leaf_prim.shape[0] - 1
+
+
+def _expand_bits(v: jnp.ndarray) -> jnp.ndarray:
+    """Insert two zero bits between each of the low 10 bits (Morton helper)."""
+    v = v.astype(jnp.uint32)
+    v = (v * jnp.uint32(0x00010001)) & jnp.uint32(0xFF0000FF)
+    v = (v * jnp.uint32(0x00000101)) & jnp.uint32(0x0F00F00F)
+    v = (v * jnp.uint32(0x00000011)) & jnp.uint32(0xC30C30C3)
+    v = (v * jnp.uint32(0x00000005)) & jnp.uint32(0x49249249)
+    return v
+
+
+def morton3(points01: jnp.ndarray) -> jnp.ndarray:
+    """30-bit Morton code for points normalized to [0, 1]^3."""
+    q = jnp.clip(points01 * 1024.0, 0.0, 1023.0).astype(jnp.uint32)
+    return (
+        (_expand_bits(q[..., 0]) << jnp.uint32(2))
+        | (_expand_bits(q[..., 1]) << jnp.uint32(1))
+        | _expand_bits(q[..., 2])
+    )
+
+
+def _clz32(x: jnp.ndarray) -> jnp.ndarray:
+    """Count leading zeros of uint32 (branchless smear + popcount)."""
+    x = x.astype(jnp.uint32)
+    x = x | (x >> jnp.uint32(1))
+    x = x | (x >> jnp.uint32(2))
+    x = x | (x >> jnp.uint32(4))
+    x = x | (x >> jnp.uint32(8))
+    x = x | (x >> jnp.uint32(16))
+    return (jnp.uint32(32) - jax.lax.population_count(x)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("refit_passes",))
+def build_lbvh(prim_min: jnp.ndarray, prim_max: jnp.ndarray, refit_passes: int = 64) -> LBVH:
+    """Build the LBVH from per-primitive AABBs. Fully jittable.
+
+    Args:
+      prim_min / prim_max: (N, 3) primitive AABBs (N >= 2).
+      refit_passes: static sweep count for the bottom-up AABB fit; the
+        radix tree over 60-bit tie-broken keys has depth <= 60, so the
+        default 64 always converges.
+    """
+    n = prim_min.shape[0]
+    centroids = 0.5 * (prim_min + prim_max)
+    lo = jnp.min(prim_min, axis=0)
+    hi = jnp.max(prim_max, axis=0)
+    extent = jnp.maximum(hi - lo, 1e-20)
+    codes = morton3((centroids - lo) / extent)
+
+    order = jnp.argsort(codes, stable=True).astype(jnp.int32)
+    codes = codes[order]
+
+    idx_sorted = jnp.arange(n, dtype=jnp.uint32)
+
+    def delta(i: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+        """Length of the common prefix of tie-broken keys i and j; -1 when
+        j is out of range (Karras 2012 sec. 4)."""
+        valid = (j >= 0) & (j < n)
+        jc = jnp.clip(j, 0, n - 1)
+        ci = codes[i]
+        cj = codes[jc]
+        same = ci == cj
+        # tie-break equal codes by index bits (treat key as code||index)
+        d_code = _clz32(ci ^ cj)
+        d_index = jnp.int32(32) + _clz32(idx_sorted[i] ^ idx_sorted[jc])
+        d = jnp.where(same, d_index, d_code)
+        return jnp.where(valid, d, jnp.int32(-1))
+
+    i = jnp.arange(n - 1, dtype=jnp.int32)
+
+    # direction of the node's range
+    d = jnp.sign(delta(i, i + 1) - delta(i, i - 1)).astype(jnp.int32)
+    d = jnp.where(d == 0, jnp.int32(1), d)
+    delta_min = delta(i, i - d)
+
+    # upper bound on range length by doubling (max key length 64 => 2^7 ... be
+    # generous with 32 doubling steps bounded by n)
+    def grow(carry, _):
+        lmax = carry
+        cond = delta(i, i + lmax * d) > delta_min
+        # clamp to avoid i32 overflow of lmax * d for huge prim counts
+        lmax = jnp.where(cond, jnp.minimum(lmax * 2, jnp.int32(1 << 30)), lmax)
+        return lmax, None
+
+    lmax, _ = jax.lax.scan(grow, jnp.full_like(i, 2), None, length=32)
+
+    # binary search the exact other end (shift-based steps; lmax <= 2^30)
+    def shrink(carry, shift):
+        l = carry
+        step = lmax >> shift
+        cond = delta(i, i + (l + step) * d) > delta_min
+        l = jnp.where(cond, l + step, l)
+        return l, None
+
+    shifts = jnp.arange(1, 31, dtype=jnp.int32)
+    l, _ = jax.lax.scan(shrink, jnp.zeros_like(i), shifts)
+    j = i + l * d
+
+    # split position: highest differing bit within [i, j]
+    delta_node = delta(i, j)
+
+    def find_split(carry, shift):
+        s = carry
+        step = (l + (1 << shift) - 1) >> shift  # ceil(l / 2^shift)
+        cond = delta(i, i + (s + step) * d) > delta_node
+        s = jnp.where(cond, s + step, s)
+        return s, None
+
+    s, _ = jax.lax.scan(find_split, jnp.zeros_like(i), shifts)
+    gamma = i + s * d + jnp.minimum(d, 0)
+
+    n_internal = n - 1
+    left = jnp.where(jnp.minimum(i, j) == gamma, gamma + n_internal, gamma)
+    right = jnp.where(jnp.maximum(i, j) == gamma + 1, gamma + 1 + n_internal, gamma + 1)
+
+    # AABB refit: leaves fixed, internal nodes converge level by level
+    leaf_min = prim_min[order]
+    leaf_max = prim_max[order]
+    node_min0 = jnp.concatenate([jnp.full((n_internal, 3), jnp.inf, prim_min.dtype), leaf_min])
+    node_max0 = jnp.concatenate([jnp.full((n_internal, 3), -jnp.inf, prim_max.dtype), leaf_max])
+
+    def refit(carry, _):
+        nmin, nmax = carry
+        new_min = jnp.minimum(nmin[left], nmin[right])
+        new_max = jnp.maximum(nmax[left], nmax[right])
+        nmin = nmin.at[:n_internal].set(new_min)
+        nmax = nmax.at[:n_internal].set(new_max)
+        return (nmin, nmax), None
+
+    (node_min, node_max), _ = jax.lax.scan(
+        refit, (node_min0, node_max0), None, length=refit_passes
+    )
+
+    return LBVH(
+        left=left.astype(jnp.int32),
+        right=right.astype(jnp.int32),
+        node_min=node_min,
+        node_max=node_max,
+        leaf_prim=order,
+    )
+
+
+def triangle_aabbs(tri_pos: jnp.ndarray):
+    """(T, 3, 3) world triangles -> per-primitive AABBs."""
+    return jnp.min(tri_pos, axis=1), jnp.max(tri_pos, axis=1)
+
+
+def validate_lbvh(bvh: LBVH, prim_min, prim_max):
+    """Property checks (SURVEY.md §4): every primitive reachable exactly
+    once; parent AABBs contain child AABBs. Host-side, for tests."""
+    import numpy as np
+
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    node_min = np.asarray(bvh.node_min)
+    node_max = np.asarray(bvh.node_max)
+    n = bvh.num_leaves
+    seen = np.zeros(n, dtype=int)
+    stack = [0] if n > 1 else []
+    if n == 1:
+        seen[0] = 1
+    guard = 0
+    while stack:
+        guard += 1
+        assert guard < 4 * n, "traversal did not terminate"
+        node = stack.pop()
+        for child in (left[node], right[node]):
+            assert (node_min[child] >= node_min[node] - 1e-5).all()
+            assert (node_max[child] <= node_max[node] + 1e-5).all()
+            if child >= n - 1:
+                seen[child - (n - 1)] += 1
+            else:
+                stack.append(child)
+    assert (seen == 1).all(), "every leaf must be reached exactly once"
+    # leaf AABBs match their primitive
+    lp = np.asarray(bvh.leaf_prim)
+    np.testing.assert_allclose(node_min[n - 1 :], np.asarray(prim_min)[lp], rtol=1e-6)
+    np.testing.assert_allclose(node_max[n - 1 :], np.asarray(prim_max)[lp], rtol=1e-6)
