@@ -185,14 +185,14 @@ def test_normal_map_image_is_unorm(tmp_path):
 def test_camera_extraction(tmp_path):
     path = write_helmet_like_scene(str(tmp_path / "helmet.gltf"))
     scene = load_gltf(path)
-    # camera node at translation (0, 0, 2.5), no rotation: reference maps
+    # camera node at translation (0, 0, -2.5), no rotation: reference maps
     # position z -> -z (ModelLoader.cpp:568) and direction = R180z @ (0,0,-1)
     # = (0,0,-1); then the renderer y-flip (Raytracer.cpp:130-136).
-    np.testing.assert_allclose(scene.camera.position, [0, 0, -2.5], atol=1e-6)
+    np.testing.assert_allclose(scene.camera.position, [0, 0, 2.5], atol=1e-6)
     np.testing.assert_allclose(scene.camera.direction, [0, 0, -1], atol=1e-6)
     np.testing.assert_allclose(scene.camera.right, [-1, 0, 0], atol=1e-6)
     cam = camera_for_render(scene.camera)
-    np.testing.assert_allclose(np.asarray(cam.position), [0, 0, -2.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cam.position), [0, 0, 2.5], atol=1e-6)
 
 
 def test_multi_file_offsets(tmp_path):

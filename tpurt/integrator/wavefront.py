@@ -1,0 +1,371 @@
+"""Wavefront path integrator.
+
+This is the TPU reformulation of the reference's recursive RT megakernel
+(shaders/raytrace.rgen + triangle.rchit, recursion up to 8 levels with two
+extra MIS rays per bounce — SURVEY.md §3.3): the recursion becomes an
+iterative `lax.while_loop` over bounce waves on flat ray SoA state, with
+the payload (raytrace-common.glsl:4-11) flattened into explicit arrays and
+the payload-alpha protocol (1 = surface, 0 = light hit, -4 = envmap)
+replaced by hit-kind tags.
+
+Faithfully replicated reference semantics (each with citation):
+
+- camera rays use cull mask 0xFE (no sphere lights, raytrace.rgen:71);
+  secondary rays 0xFF (triangle.rchit:77,103,216)
+- per hit: emissive (tex*factor or factor*200, triangle.rchit:175-178),
+  NEE with one uniformly chosen light-or-envmap sample (:60-87), one
+  always-envmap BSDF-MIS sample (the `lightIndex = lights.length()`
+  override at :92 makes the light branch dead), both weighted by the
+  power heuristic (raytrace-common.glsl:51-113) and scaled by
+  (num_lights + 1) (:110)
+- the different alpha clamps per weighting call: max(alpha, 1e-5) for
+  weightLight, 1e-3 for weightLightEnvmap, 1e-2 for weightBSDFEnvmap and
+  for the VNDF/throughput of the bounce (:86,81,95,106,201)
+- shadow rays are full closest-hit traces whose "payload radiance" is
+  light_rgb*intensity*T for sphere hits (sphere.rchit:18-19), sky*T for
+  misses (raytrace.rmiss:11), black for surface hits (triangle.rchit:114-117)
+  — including the quirk that a *miss* on a sphere-light sample still
+  contributes sky radiance through weightLight's visibility term
+  (raytrace-common.glsl:56 maps alpha -4 -> vis 1)
+- rmiss increments recursionDepth (raytrace.rmiss:10), so every NEE ray
+  that escapes the scene consumes bounce budget — the depth counter here
+  replicates that exactly
+- russian roulette (1 - max(T, 0.995), triangle.rchit:203-210) fires
+  AFTER the hit's emissive+NEE were computed and discards them along with
+  the bounce (the early return at :205 zeroes payload.color)
+- bounce offset 0.01*N, or 0.01*normalize(-dir) when the sampled
+  direction goes below the surface (:211-215)
+- contribution chaining: payload.color = radiance * instanceColor (:220),
+  accumulated here as a running albedo product A
+- alpha-tested transparency (raytrace.rahit) via closest-hit re-trace with
+  advanced t_min; the any-hit test samples only the albedo texture's
+  alpha against material.alphaCutoff (:57-58)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpurt import rng
+from tpurt.bvh.lbvh import LBVH
+from tpurt.bvh.traverse import intersect_scene
+from tpurt.camera import Camera, generate_rays
+from tpurt.config import RenderConfig
+from tpurt.kernels import bsdf as B
+from tpurt.kernels.intersect import Hit, KIND_MISS, KIND_SPHERE, KIND_TRIANGLE
+from tpurt.kernels.lights import pdf_sphere, sample_hemisphere_uniform, sample_sphere
+from tpurt.kernels.texture import sample_texture
+from tpurt.scene.device import DeviceScene
+from tpurt.scene.types import NO_TEXTURE
+
+MAX_WAVES = 8  # camera hit + up to 7 bounces (recursion cap, PipelineBuilder.cpp:172)
+
+
+def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
+           has_alpha: bool) -> Hit:
+    """Closest-hit trace with the alpha-test re-trace loop (replaces
+    hardware any-hit, raytrace.rahit:57-58)."""
+    hit = intersect_scene(
+        bvh, scene.tri_pos, scene.lights, o, d, t_min0, cfg.t_max,
+        include_spheres=include_spheres, active=active,
+    )
+    if not has_alpha:
+        return hit
+
+    def alpha_rejected(h: Hit) -> jnp.ndarray:
+        is_tri = h.kind == KIND_TRIANGLE
+        prim = jnp.clip(h.prim, 0, scene.tri_pos.shape[0] - 1)
+        tested = scene.tri_alpha[prim] & is_tri
+        mat = scene.tri_mat[prim]
+        uv3 = scene.tri_uv[prim]
+        w = jnp.stack([1.0 - h.u - h.v, h.u, h.v], axis=-1)
+        uv = jnp.sum(w[..., None] * uv3, axis=1)
+        tex = scene.materials.tex_albedo[mat]
+        texel = sample_texture(scene.atlas, scene.tex_table, tex, uv[:, 0], uv[:, 1])
+        a = jnp.where(tex == NO_TEXTURE, 1.0, texel[:, 3])
+        return tested & (a < scene.materials.alpha_cutoff[mat])
+
+    def cond(state):
+        i, h, t_min = state
+        return (i < cfg.max_alpha_skips) & jnp.any(alpha_rejected(h))
+
+    def body(state):
+        i, h, t_min = state
+        rej = alpha_rejected(h)
+        t_min = jnp.where(rej, h.t * (1.0 + 1e-6) + 1e-5, t_min)
+        nh = intersect_scene(
+            bvh, scene.tri_pos, scene.lights, o, d, t_min, cfg.t_max,
+            include_spheres=include_spheres, active=active & rej,
+        )
+        h = Hit(
+            t=jnp.where(rej, nh.t, h.t),
+            kind=jnp.where(rej, nh.kind, h.kind),
+            prim=jnp.where(rej, nh.prim, h.prim),
+            u=jnp.where(rej, nh.u, h.u),
+            v=jnp.where(rej, nh.v, h.v),
+        )
+        return i + 1, h, t_min
+
+    _, hit, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), hit, t_min0))
+    return hit
+
+
+def _shadow_payload(scene, hit: Hit, throughput, cfg: RenderConfig):
+    """What the shadow/MIS ray 'returns' (the RayPayload color protocol):
+    rgb and the alpha code (1 surface / 0 light / -4 envmap)."""
+    sky = jnp.asarray(cfg.sky_color, jnp.float32)
+    if scene.num_lights > 0:
+        light = scene.lights[jnp.clip(hit.prim, 0, scene.num_lights - 1)]
+        light_rgb = light[..., 4:7] * light[..., 7:8] * throughput[:, None]  # sphere.rchit:18
+    else:
+        light_rgb = jnp.zeros((hit.t.shape[0], 3), jnp.float32)
+    sky_rgb = sky[None, :] * throughput[:, None]                        # rmiss:11
+    is_sphere = hit.kind == KIND_SPHERE
+    is_miss = hit.kind == KIND_MISS
+    rgb = jnp.where(
+        is_sphere[:, None], light_rgb, jnp.where(is_miss[:, None], sky_rgb, 0.0)
+    )
+    a = jnp.where(is_sphere, 0.0, jnp.where(is_miss, -4.0, 1.0))
+    return rgb, a
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg", "has_alpha"))
+def render_sample(
+    scene: DeviceScene,
+    bvh: LBVH,
+    camera: Camera,
+    sample_index,
+    *,
+    width: int,
+    height: int,
+    cfg: RenderConfig,
+    has_alpha: bool,
+):
+    """Render one progressive sample (1 spp): returns (H, W, 4) radiance.
+
+    The caller feeds the result into film.accumulate (the rgen running
+    average, raytrace.rgen:75-76)."""
+    n = width * height
+    nl = scene.num_lights
+
+    state = rng.init_state(jnp.arange(n, dtype=jnp.uint32), sample_index, cfg.seed)
+    o, d, state = generate_rays(camera, width, height, cfg.tan_half_fov, state)
+
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    throughput = jnp.ones(n, jnp.float32)     # payload.rayThroughput
+    albedo_prod = jnp.ones((n, 3), jnp.float32)
+    depth = jnp.zeros(n, jnp.int32)           # payload.recursionDepth
+    active = jnp.ones(n, bool)
+
+    def wave(carry, wave_idx):
+        (o, d, state, radiance, throughput, albedo_prod, depth, active) = carry
+        include_spheres = wave_idx > 0  # static python bool per unrolled wave
+
+        hit = _trace(scene, bvh, o, d, jnp.zeros(n), active, include_spheres,
+                     cfg, has_alpha)
+
+        is_tri = active & (hit.kind == KIND_TRIANGLE)
+        is_miss = active & (hit.kind == KIND_MISS)
+        # camera-ray miss contributes the sky directly (rgen accumulates the
+        # payload; bounce-ray miss contributes 0 via max(alpha=-4, 0))
+        if wave_idx == 0:
+            sky = jnp.asarray(cfg.sky_color, jnp.float32)
+            radiance = radiance + jnp.where(
+                is_miss[:, None], sky[None, :] * throughput[:, None], 0.0
+            )
+        # sphere hits at wave>0 contribute 0 (alpha code 0) and terminate
+
+        # ---- gather hit attributes ------------------------------------
+        prim = jnp.clip(hit.prim, 0, scene.tri_pos.shape[0] - 1)
+        mat = scene.tri_mat[prim]
+        w_bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)[..., None]
+        uv = jnp.sum(w_bary * scene.tri_uv[prim], axis=1)
+        normal = jnp.sum(w_bary * scene.tri_normal[prim], axis=1)
+        normal = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
+        tangent4 = jnp.sum(w_bary * scene.tri_tangent[prim], axis=1)
+        tangent = tangent4[:, :3] / jnp.maximum(
+            jnp.linalg.norm(tangent4[:, :3], axis=-1, keepdims=True), 1e-20)
+
+        hit_point = o + hit.t[:, None] * d
+
+        m = scene.materials
+        albedo = m.albedo_scale[mat][:, :3]
+        tex_a = m.tex_albedo[mat]
+        texel_a = sample_texture(scene.atlas, scene.tex_table, tex_a, uv[:, 0], uv[:, 1])
+        albedo = jnp.where((tex_a != NO_TEXTURE)[:, None],
+                           albedo * texel_a[:, :3], albedo)  # triangle.rchit:161-163
+
+        # normal mapping via TBN (triangle.rchit:166-171)
+        tex_n = m.tex_normal[mat]
+        nf = m.normal_factor[mat]
+        texel_n = sample_texture(scene.atlas, scene.tex_table, tex_n, uv[:, 0], uv[:, 1])
+        nm = (texel_n[:, :3] * 2.0 - 1.0) * nf[:, None]
+        bitangent = jnp.cross(normal, tangent) * tangent4[:, 3:4]
+        mapped = (nm[:, 0:1] * tangent + nm[:, 1:2] * bitangent + nm[:, 2:3] * normal)
+        mapped = mapped / jnp.maximum(
+            jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20)
+        use_nm = (tex_n != NO_TEXTURE) & (jnp.abs(nf) > 0.001)
+        shading_n = jnp.where(use_nm[:, None], mapped, normal)
+
+        # emissive (triangle.rchit:175-178)
+        tex_e = m.tex_emissive[mat]
+        texel_e = sample_texture(scene.atlas, scene.tex_table, tex_e, uv[:, 0], uv[:, 1])
+        emissive = jnp.where(
+            (tex_e != NO_TEXTURE)[:, None],
+            texel_e[:, :3] * m.emissive[mat][:, :3],
+            m.emissive[mat][:, :3] * cfg.emissive_untextured_scale,
+        )
+
+        # roughness * metallicRoughness texture green channel (:180-184)
+        tex_mr = m.tex_mr[mat]
+        texel_mr = sample_texture(scene.atlas, scene.tex_table, tex_mr, uv[:, 0], uv[:, 1])
+        roughness = m.roughness[mat] * jnp.where(tex_mr != NO_TEXTURE, texel_mr[:, 1], 1.0)
+        alpha = B.roughness_to_alpha(roughness)
+
+        local_l = emissive
+
+        # ---- NEE sample 1: uniformly light-or-envmap (:64-87) ----------
+        state, u_pick = rng.next_rand(state)
+        light_idx = jnp.minimum((u_pick * (nl + 1)).astype(jnp.int32), nl)
+        pick_env = light_idx >= nl
+        state, u1, u2 = rng.next_uniform2(state)
+        if nl > 0:
+            lt = scene.lights[jnp.clip(light_idx, 0, nl - 1)]
+            dir_sphere = sample_sphere(hit_point, lt[:, :3], lt[:, 3], u1, u2)
+        else:
+            lt = jnp.zeros((n, 8), jnp.float32)
+            dir_sphere = jnp.zeros((n, 3), jnp.float32)
+        dir_hemi = sample_hemisphere_uniform(shading_n, u1, u2)
+        dir1 = jnp.where(pick_env[:, None], dir_hemi, dir_sphere)
+
+        nee_o = hit_point + cfg.ray_offset * shading_n
+        h1 = _trace(scene, bvh, nee_o, dir1, jnp.zeros(n), is_tri, True, cfg, has_alpha)
+        rgb1, a1 = _shadow_payload(scene, h1, throughput, cfg)
+        # rmiss increments recursionDepth (raytrace.rmiss:10)
+        depth = depth + ((h1.kind == KIND_MISS) & is_tri).astype(jnp.int32)
+
+        wo = -d
+        # weightLight (raytrace-common.glsl:51-62), alpha clamp 1e-5
+        al_l = jnp.maximum(alpha, 0.00001)
+        bsdf_f1 = B.microfacet_bsdf(dir1, wo, shading_n, al_l,
+                                    cfg.eta_i, cfg.eta_t)
+        bsdf_pdf1 = B.pdf_microfacet(dir1, wo, shading_n, al_l)
+        if nl > 0:
+            light_pdf1 = pdf_sphere(hit_point, dir1, lt[:, :3], lt[:, 3])
+        else:
+            light_pdf1 = jnp.zeros(n)
+        vis1 = jnp.maximum(1.0 - jnp.maximum(a1, 0.0), 0.0)
+        w_light = (
+            bsdf_f1
+            * jnp.abs(jnp.sum(dir1 * shading_n, axis=-1))
+            * vis1
+            * B.power_heuristic(1.0, light_pdf1, 1.0, bsdf_pdf1)
+            / jnp.maximum(light_pdf1, 1e-30)
+        )
+        w_light = jnp.where((light_pdf1 <= 0.0) | (bsdf_pdf1 <= 0.0), 0.0, w_light)
+        contrib_light = w_light[:, None] * rgb1
+
+        # weightLightEnvmap (:64-80), alpha clamp 1e-3
+        al_le = jnp.maximum(alpha, 0.001)
+        bsdf_fe = B.microfacet_bsdf(dir1, wo, shading_n, al_le, cfg.eta_i, cfg.eta_t)
+        bsdf_pdfe = B.pdf_microfacet(dir1, wo, shading_n, al_le)
+        env_pdf = 1.0 / (2.0 * B.PI)
+        vis_env1 = jnp.where(a1 < -1.0, 1.0, 0.0)
+        w_env = (
+            bsdf_fe
+            * jnp.abs(jnp.sum(dir1 * shading_n, axis=-1))
+            * vis_env1
+            * B.power_heuristic(1.0, env_pdf, 1.0, bsdf_pdfe)
+            / env_pdf
+        )
+        w_env = jnp.where(bsdf_pdfe <= 0.0, 0.0, w_env)
+        contrib_env = w_env[:, None] * rgb1
+
+        nee1 = jnp.where(pick_env[:, None], contrib_env, contrib_light)
+
+        # ---- NEE sample 2: BSDF-MIS, always envmap branch (:89-108) ----
+        state, _dead = rng.next_rand(state)  # the overridden lightIndex draw
+        state, u3, u4 = rng.next_uniform2(state)
+        al_b = jnp.maximum(alpha, 0.01)
+        micro_n = B.sample_microfacet_distribution(wo, shading_n, al_b, u3, u4)
+        micro_n = jnp.where((alpha > 0.0)[:, None], micro_n, shading_n)
+        dir2 = B.reflect(d, micro_n)
+        h2 = _trace(scene, bvh, nee_o, dir2, jnp.zeros(n), is_tri, True, cfg, has_alpha)
+        rgb2, a2 = _shadow_payload(scene, h2, throughput, cfg)
+        depth = depth + ((h2.kind == KIND_MISS) & is_tri).astype(jnp.int32)
+
+        # weightBSDFEnvmap (:95-112), alpha clamp 1e-2
+        bsdf_pdf2 = B.pdf_microfacet(dir2, wo, shading_n, al_b)
+        vis_env2 = jnp.where(a2 < -1.0, 1.0, 0.0)
+        w_bsdf = (
+            B.microfacet_weight(dir2, wo, shading_n, al_b)
+            * vis_env2
+            * B.power_heuristic(1.0, bsdf_pdf2, 1.0, env_pdf)
+        )
+        w_bsdf = jnp.where(bsdf_pdf2 <= 0.000005, 0.0, w_bsdf)
+        w_bsdf = jnp.where(jnp.any(jnp.isnan(dir2), axis=-1), 0.0, w_bsdf)
+        nee2 = w_bsdf[:, None] * rgb2
+
+        local_l = local_l + (nee1 + nee2) * jnp.float32(nl + 1)  # :110
+
+        # ---- bounce (triangle.rchit:192-218) ---------------------------
+        can_bounce = depth < cfg.max_depth
+        depth = depth + is_tri.astype(jnp.int32)  # recursionDepth++ (:192)
+
+        state, u5, u6 = rng.next_uniform2(state)
+        micro_b = B.sample_microfacet_distribution(wo, shading_n, alpha, u5, u6)
+        micro_b = jnp.where((alpha > 0.0)[:, None], micro_b, shading_n)
+        bounce_dir = B.reflect(d, micro_b)
+
+        t_new = throughput * B.microfacet_weight(bounce_dir, wo, shading_n, al_b)
+        rr_w = 1.0 - jnp.maximum(t_new, cfg.rr_threshold)  # :203
+        state, u_rr = rng.next_rand(state)
+        killed = u_rr < rr_w
+        t_new = t_new / jnp.maximum(1.0 - rr_w, 1e-30)     # :209
+
+        below = jnp.sum(bounce_dir * shading_n, axis=-1) < 0.0
+        offset = jnp.where(
+            below[:, None],
+            cfg.ray_offset * (-bounce_dir) / jnp.maximum(
+                jnp.linalg.norm(bounce_dir, axis=-1, keepdims=True), 1e-20),
+            cfg.ray_offset * shading_n,
+        )
+
+        # RR kill zeroes this hit's whole contribution (:204-206)
+        dead_by_rr = is_tri & can_bounce & killed
+        add = is_tri & ~dead_by_rr
+        radiance = radiance + jnp.where(
+            add[:, None], albedo_prod * albedo * local_l, 0.0
+        )
+
+        cont = is_tri & can_bounce & ~killed
+        o = jnp.where(cont[:, None], hit_point + offset, o)
+        d = jnp.where(cont[:, None], bounce_dir, d)
+        albedo_prod = jnp.where(cont[:, None], albedo_prod * albedo, albedo_prod)
+        throughput = jnp.where(cont, t_new, throughput)
+        active = cont
+
+        return (o, d, state, radiance, throughput, albedo_prod, depth, active), None
+
+    carry = (o, d, state, radiance, throughput, albedo_prod, depth, active)
+    # wave 0 has different static behavior (cull mask / sky add), so unroll
+    # the first wave and loop the rest while any ray survives
+    carry, _ = wave(carry, 0)
+
+    def cond(c):
+        return jnp.any(c[-1])
+
+    def body(c):
+        c2, _ = wave(c, 1)
+        return c2
+
+    carry = jax.lax.while_loop(cond, body, carry)
+    radiance = carry[3]
+
+    img = jnp.concatenate([radiance, jnp.ones((n, 1), jnp.float32)], axis=-1)
+    return img.reshape(height, width, 4)

@@ -1,0 +1,129 @@
+"""High-level progressive renderer: the composition root tying scene, BVH,
+integrator, film and checkpointing together.
+
+This is the analogue of `TriangleMeshRaytracer` + `main()`
+(src/Raytracer.cpp, src/main.cpp): it owns the accumulation buffer, the
+sample counter, the convergence timer (parity with the
+"Max. sample count reached. Time=%f s" printf at Raytracer.cpp:251), and
+progressive accumulation semantics (reset on camera change,
+Raytracer.cpp:399-402)."""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt import film
+from tpurt.bvh import build_lbvh, triangle_aabbs
+from tpurt.camera import Camera
+from tpurt.config import RenderConfig, SphereLight
+from tpurt.integrator import render_sample
+from tpurt.scene import DeviceScene, SceneData, build_device_scene, camera_for_render
+from tpurt.scene.gltf import load_gltf
+
+
+class Renderer:
+    def __init__(
+        self,
+        scene: SceneData | DeviceScene,
+        config: RenderConfig = RenderConfig(),
+        lights: Sequence[SphereLight] = (),
+        camera: Optional[Camera] = None,
+    ):
+        self.config = config
+        if isinstance(scene, DeviceScene):
+            self.device_scene = scene
+            self.camera = camera or Camera.default()
+        else:
+            self.device_scene = build_device_scene(scene, lights=lights)
+            self.camera = camera or camera_for_render(scene.camera)
+        self.has_alpha = bool(np.asarray(self.device_scene.tri_alpha).any())
+        self.bvh = build_lbvh(*triangle_aabbs(self.device_scene.tri_pos))
+        self.reset()
+
+    @classmethod
+    def from_gltf(
+        cls,
+        paths,
+        config: RenderConfig = RenderConfig(),
+        lights: Sequence[SphereLight] = (),
+        camera: Optional[Camera] = None,
+    ) -> "Renderer":
+        return cls(load_gltf(paths), config=config, lights=lights, camera=camera)
+
+    # ---- progressive accumulation (Raytracer.cpp:247-253, 399-402) ------
+
+    def reset(self) -> None:
+        cfg = self.config
+        self.accum = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+        self.sample_count = 0
+        self.sample_time = 0.0
+        self._converged_reported = False
+
+    def set_camera(self, camera: Camera) -> None:
+        """Any camera change resets accumulation (Raytracer.cpp:184,196-227)."""
+        self.camera = camera
+        self.reset()
+
+    def step(self) -> jnp.ndarray:
+        """One frame = one progressive sample per pixel (nSamples = 1,
+        raytrace.rgen:33). Returns the current accumulation buffer."""
+        cfg = self.config
+        if self.sample_count >= cfg.max_samples:
+            if not self._converged_reported:
+                # parity with Raytracer.cpp:251
+                print("Max. sample count reached. Time=%f s" % self.sample_time)
+                self._converged_reported = True
+            return self.accum
+        t0 = time.perf_counter()
+        self.sample_count += 1
+        radiance = render_sample(
+            self.device_scene,
+            self.bvh,
+            self.camera,
+            jnp.uint32(self.sample_count - 1),
+            width=cfg.width,
+            height=cfg.height,
+            cfg=cfg,
+            has_alpha=self.has_alpha,
+        )
+        self.accum = film.accumulate(self.accum, radiance, self.sample_count)
+        self.accum.block_until_ready()
+        self.sample_time += time.perf_counter() - t0
+        return self.accum
+
+    def render(self, spp: Optional[int] = None, progress_every: int = 0) -> jnp.ndarray:
+        """Accumulate `spp` samples (default: config.max_samples)."""
+        target = spp if spp is not None else self.config.max_samples
+        while self.sample_count < min(target, self.config.max_samples):
+            self.step()
+            if progress_every and self.sample_count % progress_every == 0:
+                print(f"  {self.sample_count}/{target} spp, {self.sample_time:.2f}s")
+        if self.sample_count >= self.config.max_samples and not self._converged_reported:
+            print("Max. sample count reached. Time=%f s" % self.sample_time)
+            self._converged_reported = True
+        return self.accum
+
+    # ---- output & checkpoint -------------------------------------------
+
+    def tonemapped(self) -> jnp.ndarray:
+        return film.tonemap(self.accum, self.config.exposure)
+
+    def save_png(self, path: str) -> None:
+        film.save_png(path, self.tonemapped())
+
+    def save_checkpoint(self, path: str) -> None:
+        film.save_checkpoint(path, self.accum, self.sample_count, self.config.seed,
+                             self.camera)
+
+    def load_checkpoint(self, path: str) -> None:
+        ck = film.load_checkpoint(path)
+        assert ck.accum.shape == (self.config.height, self.config.width, 4)
+        self.accum = jnp.asarray(ck.accum)
+        self.sample_count = ck.sample_count
+        self.camera = ck.camera()
+        self._converged_reported = False

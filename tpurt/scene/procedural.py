@@ -302,7 +302,10 @@ def write_helmet_like_scene(path: str) -> str:
     mesh = b.add_mesh(p, n, uv, idx, tangents=tangents, material=mat)
     b.add_node(mesh=mesh)
     cam = b.add_camera()
-    b.add_node(camera=cam, translation=[0.0, 0.0, 2.5])
+    # loader camera position maps (tx, ty, tz) -> (tx, -ty, -tz)
+    # (ModelLoader.cpp:568 + Raytracer.cpp:134) and looks along -z, so place
+    # the node at z=-2.5 to end up at +2.5 facing the sphere at the origin
+    b.add_node(camera=cam, translation=[0.0, 0.0, -2.5])
     return b.write(path)
 
 
