@@ -1,0 +1,76 @@
+"""Benchmark harness: Mrays/sec on the Sponza-scale interior config.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: >100 Mrays/sec/chip on Sponza 1080p @ TPU v5e
+(BASELINE.json / BASELINE.md). vs_baseline = value / 100.
+
+On the TPU the full 1080p wavefront runs as-is; on CPU (local smoke runs)
+the resolution is scaled down so the harness stays fast — the JSON line is
+tagged with the actual config used.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon") or "tpu" in str(jax.devices()[0]).lower()
+
+    import jax.numpy as jnp
+
+    from tpurt.camera import Camera
+    from tpurt.config import RenderConfig, SphereLight
+    from tpurt.integrator.wavefront import render_sample_stats
+    from tpurt.renderer import Renderer
+    from tpurt.scene.procedural import write_sponza_like_scene
+
+    if on_tpu:
+        width, height, samples, columns, foliage = 1920, 1080, 4, 6, 48
+    else:
+        width, height, samples, columns, foliage = 320, 240, 2, 2, 8
+
+    cfg = RenderConfig(width=width, height=height, max_samples=1024)
+    path = write_sponza_like_scene("/tmp/bench_sponza.gltf", columns=columns,
+                                   foliage=foliage)
+    cam = Camera.from_angles([0.0, -4.0, 0.0], 0.7, -0.1)
+    lights = [
+        SphereLight((-8.0, -5.0, -2.0), 0.1, (0.8, 0.6, 0.6), 500.0),
+        SphereLight((8.0, -5.0, -2.5), 0.1, (0.4, 0.7, 0.6), 500.0),
+        SphereLight((0.0, -7.5, 0.0), 0.5, (0.9, 0.9, 0.7), 1000.0),
+    ]
+    r = Renderer.from_gltf(path, config=cfg, camera=cam, lights=lights)
+
+    def one(idx):
+        img, rays = render_sample_stats(
+            r.device_scene, r.bvh, r.camera, jnp.uint32(idx),
+            width=cfg.width, height=cfg.height, cfg=cfg, has_alpha=r.has_alpha,
+        )
+        img.block_until_ready()
+        return float(rays)
+
+    one(0)  # warmup/compile
+
+    t0 = time.perf_counter()
+    total_rays = 0.0
+    for i in range(1, samples + 1):
+        total_rays += one(i)
+    dt = time.perf_counter() - t0
+
+    mrays = total_rays / dt / 1e6
+    print(json.dumps({
+        "metric": f"sponza_like_{width}x{height}_mrays_per_sec"
+                  + ("" if on_tpu else "_cpu"),
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Headless render CLI — the app surface replacing the reference's
+interactive window (src/main.cpp + WASD/mouse controls, SURVEY.md §7
+stage 9). Every hard-coded constant of the reference is a flag here.
+
+Usage examples:
+
+  python -m tpurt.cli render scene.gltf --spp 1024 --res 1920x1080 -o out.png
+  python -m tpurt.cli render a.gltf b.gltf --camera 0,1,-4:0.5:-0.2 \
+      --light -8.3,-5.8,-2.3:0.1:0.8,0.6,0.6:500 --checkpoint run.npz
+  python -m tpurt.cli render scene.gltf --orbit 0,0,0:5:2:32 --out frames/
+  python -m tpurt.cli info scene.gltf
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _parse_res(s):
+    w, h = s.lower().split("x")
+    return int(w), int(h)
+
+
+def _parse_camera(s):
+    """pos_x,pos_y,pos_z:phi:theta (angles in radians, the mouse-look
+    parameterization of Raytracer.cpp:176-182)."""
+    pos, phi, theta = s.split(":")
+    return [float(x) for x in pos.split(",")], float(phi), float(theta)
+
+
+def _parse_light(s):
+    """px,py,pz:radius:r,g,b:intensity (main.cpp:27-31 layout)."""
+    from tpurt.config import SphereLight
+
+    pos, radius, color, intensity = s.split(":")
+    return SphereLight(
+        tuple(float(x) for x in pos.split(",")),
+        float(radius),
+        tuple(float(x) for x in color.split(",")),
+        float(intensity),
+    )
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="tpurt", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    r = sub.add_parser("render", help="render glTF scene(s) to PNG")
+    r.add_argument("scenes", nargs="+", help="glTF/GLB files (like main.cpp argv)")
+    r.add_argument("--res", default="640x480", help="WxH (default 640x480, main.cpp:18)")
+    r.add_argument("--spp", type=int, default=1024,
+                   help="samples per pixel (default 1024, Raytracer.hpp:39)")
+    r.add_argument("-o", "--out", default="render.png", help="output PNG (or directory for paths)")
+    r.add_argument("--camera", type=_parse_camera, default=None,
+                   help="pos_x,pos_y,pos_z:phi:theta override (radians)")
+    r.add_argument("--light", type=_parse_light, action="append", default=None,
+                   help="sphere light px,py,pz:radius:r,g,b:intensity (repeatable)")
+    r.add_argument("--sponza-lights", action="store_true",
+                   help="use the reference's three hard-coded lights (main.cpp:27-31)")
+    r.add_argument("--exposure", type=float, default=3.0, help="Raytracer.hpp:41")
+    r.add_argument("--fov", type=float, default=45.0, help="degrees (Raytracer.cpp:321)")
+    r.add_argument("--max-depth", type=int, default=7, help="bounce cap (triangle.rchit:192)")
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--sky", default="0.4,0.5,0.6", help="sky color (raytrace.rmiss:11)")
+    r.add_argument("--checkpoint", default=None,
+                   help="checkpoint file: resumed if it exists, saved on exit")
+    r.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save the checkpoint every N samples")
+    r.add_argument("--progress-every", type=int, default=64)
+    r.add_argument("--orbit", default=None,
+                   help="camera path cx,cy,cz:radius:height:frames — renders a frame sequence")
+    r.add_argument("--shard", default=None,
+                   help="TILExSPP device mesh (e.g. 2x4) for multi-chip rendering")
+    r.add_argument("--save-accum", default=None,
+                   help="also dump the raw accumulation buffer (npz)")
+
+    i = sub.add_parser("info", help="print scene statistics")
+    i.add_argument("scenes", nargs="+")
+
+    b = sub.add_parser("bench", help="run the benchmark harness (bench.py)")
+    return p
+
+
+def cmd_render(args):
+    import numpy as np
+
+    from tpurt.camera import Camera, orbit_path
+    from tpurt.config import DEFAULT_SPONZA_LIGHTS, RenderConfig
+    from tpurt.renderer import Renderer
+
+    width, height = _parse_res(args.res)
+    cfg = RenderConfig(
+        width=width,
+        height=height,
+        max_samples=args.spp,
+        exposure=args.exposure,
+        fov_degrees=args.fov,
+        max_depth=args.max_depth,
+        seed=args.seed,
+        sky_color=tuple(float(x) for x in args.sky.split(",")),
+    )
+    lights = list(args.light or [])
+    if args.sponza_lights:
+        lights.extend(DEFAULT_SPONZA_LIGHTS)
+
+    camera = None
+    if args.camera is not None:
+        pos, phi, theta = args.camera
+        camera = Camera.from_angles(pos, phi, theta)
+
+    print(f"loading {args.scenes} ...")
+    t0 = time.perf_counter()
+    renderer = Renderer.from_gltf(args.scenes, config=cfg, lights=lights, camera=camera)
+    print(f"  {renderer.device_scene.num_triangles} triangles, "
+          f"{renderer.device_scene.num_lights} lights, "
+          f"alpha-tested={renderer.has_alpha}, "
+          f"loaded in {time.perf_counter() - t0:.2f}s")
+
+    sharded = None
+    if args.shard:
+        from tpurt.parallel import ShardedRenderer, make_mesh
+
+        t, s = (int(x) for x in args.shard.lower().split("x"))
+        sharded = ShardedRenderer(renderer, make_mesh(n_tile=t, n_spp=s))
+        print(f"  sharding over mesh tile={t} x spp={s}")
+
+    if args.orbit:
+        center_s, radius_s, height_s, frames_s = args.orbit.split(":")
+        cams = orbit_path([float(x) for x in center_s.split(",")],
+                          float(radius_s), float(height_s), int(frames_s))
+        os.makedirs(args.out, exist_ok=True)
+        for fi, cam in enumerate(cams):
+            renderer.set_camera(cam)
+            target = sharded if sharded is not None else renderer
+            target.render(args.spp)
+            frame_path = os.path.join(args.out, f"frame_{fi:04d}.png")
+            renderer.save_png(frame_path)
+            print(f"  frame {fi + 1}/{len(cams)} -> {frame_path} "
+                  f"({renderer.sample_time:.2f}s)")
+        return 0
+
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        renderer.load_checkpoint(args.checkpoint)
+        print(f"  resumed at {renderer.sample_count} spp from {args.checkpoint}")
+
+    target = sharded if sharded is not None else renderer
+    if args.checkpoint and args.checkpoint_every:
+        while renderer.sample_count < args.spp:
+            nxt = min(renderer.sample_count + args.checkpoint_every, args.spp)
+            target.render(nxt)
+            renderer.save_checkpoint(args.checkpoint)
+            print(f"  checkpoint @ {renderer.sample_count} spp -> {args.checkpoint}")
+    else:
+        t0 = time.perf_counter()
+        target.render(args.spp)
+        print(f"  {renderer.sample_count} spp in {time.perf_counter() - t0:.2f}s")
+
+    renderer.save_png(args.out)
+    print(f"wrote {args.out}")
+    if args.checkpoint:
+        renderer.save_checkpoint(args.checkpoint)
+    if args.save_accum:
+        import numpy as _np
+
+        _np.savez_compressed(args.save_accum, accum=_np.asarray(renderer.accum),
+                             sample_count=renderer.sample_count)
+    return 0
+
+
+def cmd_info(args):
+    from tpurt.scene import load_gltf
+
+    scene = load_gltf(args.scenes)
+    print(f"geometries:  {len(scene.geometries)}")
+    print(f"triangles:   {scene.triangle_count}")
+    print(f"vertices:    {scene.positions.shape[0]}")
+    print(f"materials:   {len(scene.materials)}")
+    print(f"textures:    {len(scene.textures)}")
+    print(f"images:      {len(scene.images)}")
+    print(f"bounds min:  {scene.model_bounds_min}")
+    print(f"bounds max:  {scene.model_bounds_max}")
+    alpha = sum(g.is_alpha_tested for g in scene.geometries)
+    print(f"alpha-tested geometries: {alpha}")
+    cam = scene.camera
+    print(f"camera: pos={cam.position} dir={cam.direction} fov={cam.fov}")
+    return 0
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.command == "render":
+        return cmd_render(args)
+    if args.command == "info":
+        return cmd_info(args)
+    if args.command == "bench":
+        import bench
+
+        bench.main()
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

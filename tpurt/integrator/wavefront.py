@@ -133,42 +133,44 @@ def _shadow_payload(scene, hit: Hit, throughput, cfg: RenderConfig):
     return rgb, a
 
 
-@partial(jax.jit, static_argnames=("width", "height", "cfg", "has_alpha"))
-def render_sample(
+def trace_paths(
     scene: DeviceScene,
     bvh: LBVH,
-    camera: Camera,
-    sample_index,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    state: jnp.ndarray,
     *,
-    width: int,
-    height: int,
     cfg: RenderConfig,
     has_alpha: bool,
+    return_stats: bool = False,
 ):
-    """Render one progressive sample (1 spp): returns (H, W, 4) radiance.
+    """Trace a flat batch of camera rays through the full wavefront loop.
 
-    The caller feeds the result into film.accumulate (the rgen running
-    average, raytrace.rgen:75-76)."""
-    n = width * height
+    Returns (N, 3) radiance (and, with return_stats, the number of logical
+    traceRayEXT-equivalent rays traced — 1 per active wave ray + 2 NEE rays
+    per shaded hit — the Mrays/s numerator). This is the shardable core:
+    `render_sample` adds ray generation + image reshape on top,
+    `tpurt.parallel` shards ray/sample batches across a device mesh."""
+    n = o.shape[0]
     nl = scene.num_lights
 
-    state = rng.init_state(jnp.arange(n, dtype=jnp.uint32), sample_index, cfg.seed)
-    o, d, state = generate_rays(camera, width, height, cfg.tan_half_fov, state)
-
     radiance = jnp.zeros((n, 3), jnp.float32)
+    rays_traced = jnp.zeros((), jnp.float32)
     throughput = jnp.ones(n, jnp.float32)     # payload.rayThroughput
     albedo_prod = jnp.ones((n, 3), jnp.float32)
     depth = jnp.zeros(n, jnp.int32)           # payload.recursionDepth
     active = jnp.ones(n, bool)
 
     def wave(carry, wave_idx):
-        (o, d, state, radiance, throughput, albedo_prod, depth, active) = carry
+        (o, d, state, radiance, throughput, albedo_prod, depth, rays_traced,
+         active) = carry
         include_spheres = wave_idx > 0  # static python bool per unrolled wave
 
         hit = _trace(scene, bvh, o, d, jnp.zeros(n), active, include_spheres,
                      cfg, has_alpha)
 
         is_tri = active & (hit.kind == KIND_TRIANGLE)
+        rays_traced = rays_traced + jnp.sum(active) + 2.0 * jnp.sum(is_tri)
         is_miss = active & (hit.kind == KIND_MISS)
         # camera-ray miss contributes the sky directly (rgen accumulates the
         # payload; bounce-ray miss contributes 0 via max(alpha=-4, 0))
@@ -350,9 +352,11 @@ def render_sample(
         throughput = jnp.where(cont, t_new, throughput)
         active = cont
 
-        return (o, d, state, radiance, throughput, albedo_prod, depth, active), None
+        return (o, d, state, radiance, throughput, albedo_prod, depth,
+                rays_traced, active), None
 
-    carry = (o, d, state, radiance, throughput, albedo_prod, depth, active)
+    carry = (o, d, state, radiance, throughput, albedo_prod, depth,
+             rays_traced, active)
     # wave 0 has different static behavior (cull mask / sky add), so unroll
     # the first wave and loop the rest while any ray survives
     carry, _ = wave(carry, 0)
@@ -365,7 +369,52 @@ def render_sample(
         return c2
 
     carry = jax.lax.while_loop(cond, body, carry)
-    radiance = carry[3]
+    if return_stats:
+        return carry[3], carry[7]
+    return carry[3]
 
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg", "has_alpha"))
+def render_sample(
+    scene: DeviceScene,
+    bvh: LBVH,
+    camera: Camera,
+    sample_index,
+    *,
+    width: int,
+    height: int,
+    cfg: RenderConfig,
+    has_alpha: bool,
+):
+    """Render one progressive sample (1 spp): returns (H, W, 4) radiance.
+
+    The caller feeds the result into film.accumulate (the rgen running
+    average, raytrace.rgen:75-76)."""
+    n = width * height
+    state = rng.init_state(jnp.arange(n, dtype=jnp.uint32), sample_index, cfg.seed)
+    o, d, state = generate_rays(camera, width, height, cfg.tan_half_fov, state)
+    radiance = trace_paths(scene, bvh, o, d, state, cfg=cfg, has_alpha=has_alpha)
     img = jnp.concatenate([radiance, jnp.ones((n, 1), jnp.float32)], axis=-1)
     return img.reshape(height, width, 4)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg", "has_alpha"))
+def render_sample_stats(
+    scene: DeviceScene,
+    bvh: LBVH,
+    camera: Camera,
+    sample_index,
+    *,
+    width: int,
+    height: int,
+    cfg: RenderConfig,
+    has_alpha: bool,
+):
+    """render_sample + the traced-ray count (for Mrays/s benchmarking)."""
+    n = width * height
+    state = rng.init_state(jnp.arange(n, dtype=jnp.uint32), sample_index, cfg.seed)
+    o, d, state = generate_rays(camera, width, height, cfg.tan_half_fov, state)
+    radiance, rays = trace_paths(scene, bvh, o, d, state, cfg=cfg,
+                                 has_alpha=has_alpha, return_stats=True)
+    img = jnp.concatenate([radiance, jnp.ones((n, 1), jnp.float32)], axis=-1)
+    return img.reshape(height, width, 4), rays
