@@ -31,11 +31,16 @@ def main():
     from tpurt.scene.procedural import write_sponza_like_scene
 
     if on_tpu:
-        width, height, samples, columns, foliage = 1920, 1080, 4, 6, 48
+        width, height, samples, columns, foliage = 1920, 1080, 2, 6, 48
+        # the remote-TPU tunnel enforces a ~60s per-launch wall limit;
+        # 45-row bands (~86k rays) keep each launch safely under it
+        chunk_rows = 45
     else:
         width, height, samples, columns, foliage = 320, 240, 2, 2, 8
+        chunk_rows = 0
 
-    cfg = RenderConfig(width=width, height=height, max_samples=1024)
+    cfg = RenderConfig(width=width, height=height, max_samples=1024,
+                       chunk_rows=chunk_rows)
     path = write_sponza_like_scene("/tmp/bench_sponza.gltf", columns=columns,
                                    foliage=foliage)
     cam = Camera.from_angles([0.0, -4.0, 0.0], 0.7, -0.1)
@@ -50,6 +55,7 @@ def main():
         img, rays = render_sample_stats(
             r.device_scene, r.bvh, r.camera, jnp.uint32(idx),
             width=cfg.width, height=cfg.height, cfg=cfg, has_alpha=r.has_alpha,
+            chunk_rows=cfg.chunk_rows,
         )
         img.block_until_ready()
         return float(rays)

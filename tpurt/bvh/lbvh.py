@@ -42,6 +42,12 @@ class LBVH(NamedTuple):
     node_min: jnp.ndarray   # (2N-1, 3) f32
     node_max: jnp.ndarray   # (2N-1, 3) f32
     leaf_prim: jnp.ndarray  # (N,) i32
+    # stackless skip links (DFS 'ropes'), one DFS order per direction
+    # octant: rays descend into the child that lies nearer along their
+    # direction first, which tightens t_best early and cuts node visits.
+    # END is encoded as 2N-1. Traversal is a pure-gather loop, no stack.
+    first: jnp.ndarray      # (8, N-1) i32 octant-ordered first child
+    skip: jnp.ndarray       # (8, 2N-1) i32 octant-ordered escape links
 
     @property
     def num_leaves(self) -> int:
@@ -50,6 +56,10 @@ class LBVH(NamedTuple):
     @property
     def num_internal(self) -> int:
         return self.leaf_prim.shape[0] - 1
+
+    @property
+    def end_sentinel(self) -> int:
+        return 2 * self.leaf_prim.shape[0] - 1
 
 
 def _expand_bits(v: jnp.ndarray) -> jnp.ndarray:
@@ -184,18 +194,91 @@ def build_lbvh(prim_min: jnp.ndarray, prim_max: jnp.ndarray, refit_passes: int =
         refit, (node_min0, node_max0), None, length=refit_passes
     )
 
+    # per-octant DFS child order: visit the child nearer along the ray
+    # direction first (sign of the projected child-center separation)
+    left = left.astype(jnp.int32)
+    right = right.astype(jnp.int32)
+    centers = 0.5 * (node_min + node_max)
+    delta = centers[right] - centers[left]  # (N-1, 3)
+    oct_signs = jnp.asarray(
+        [[1 - 2 * ((o >> 2) & 1), 1 - 2 * ((o >> 1) & 1), 1 - 2 * (o & 1)]
+         for o in range(8)], jnp.float32)  # octant bit o: 4=x<0, 2=y<0, 1=z<0
+    score = jnp.einsum("oa,na->on", oct_signs, delta)  # (8, N-1)
+    first = jnp.where(score >= 0.0, left[None, :], right[None, :])
+    second = jnp.where(score >= 0.0, right[None, :], left[None, :])
+
+    # skip ('rope') links per octant:
+    #   skip[first[i]] = second[i]    (sibling next)  -- exact in one pass
+    #   skip[second[i]] = skip[i]     (escape parent) -- propagates one
+    #                                  level per pass, tree depth <= 60
+    end = jnp.int32(2 * n - 1)
+    skip0 = jnp.full((8, 2 * n - 1), end, jnp.int32)
+    rows = jnp.arange(8, dtype=jnp.int32)[:, None]
+
+    def prop(skip, _):
+        skip = skip.at[rows, first].set(second)
+        skip = skip.at[rows, second].set(skip[:, :n_internal])
+        return skip, None
+
+    skip, _ = jax.lax.scan(prop, skip0, None, length=refit_passes)
+
     return LBVH(
-        left=left.astype(jnp.int32),
-        right=right.astype(jnp.int32),
+        left=left,
+        right=right,
         node_min=node_min,
         node_max=node_max,
         leaf_prim=order,
+        first=first,
+        skip=skip,
     )
 
 
 def triangle_aabbs(tri_pos: jnp.ndarray):
     """(T, 3, 3) world triangles -> per-primitive AABBs."""
     return jnp.min(tri_pos, axis=1), jnp.max(tri_pos, axis=1)
+
+
+class TriBVH(NamedTuple):
+    """LBVH whose leaves cover `group_size` morton-consecutive triangles.
+
+    Grouped leaves are the iteration-count lever for the batched stackless
+    traversal: each leaf visit tests G triangles read CONTIGUOUSLY (one
+    wide gather row instead of G scattered ones) and the tree has G x
+    fewer nodes, so the latency-bound while_loop runs ~log2(G) fewer and
+    ~G x cheaper-per-leaf iterations."""
+
+    bvh: LBVH
+    tri_order: jnp.ndarray  # (n_groups * G,) i32 original tri ids, morton order
+
+    @property
+    def group_size(self) -> int:
+        return self.tri_order.shape[0] // self.bvh.leaf_prim.shape[0]
+
+
+@partial(jax.jit, static_argnames=("group_size", "refit_passes"))
+def build_triangle_bvh(tri_pos: jnp.ndarray, group_size: int = 4,
+                       refit_passes: int = 64) -> TriBVH:
+    """Build the production triangle BVH: morton-sort triangles, group G
+    consecutive ones per leaf, LBVH over group AABBs."""
+    t = tri_pos.shape[0]
+    pmin, pmax = triangle_aabbs(tri_pos)
+    centroids = 0.5 * (pmin + pmax)
+    lo = jnp.min(pmin, axis=0)
+    hi = jnp.max(pmax, axis=0)
+    extent = jnp.maximum(hi - lo, 1e-20)
+    codes = morton3((centroids - lo) / extent)
+    order = jnp.argsort(codes, stable=True).astype(jnp.int32)
+
+    n_groups = max((t + group_size - 1) // group_size, 2)
+    padded = n_groups * group_size
+    # pad by repeating the last sorted triangle (harmless duplicates)
+    order_padded = jnp.concatenate(
+        [order, jnp.broadcast_to(order[-1:], (padded - t,))])
+
+    gmin = pmin[order_padded].reshape(n_groups, group_size, 3).min(axis=1)
+    gmax = pmax[order_padded].reshape(n_groups, group_size, 3).max(axis=1)
+    bvh = build_lbvh(gmin, gmax, refit_passes=refit_passes)
+    return TriBVH(bvh=bvh, tri_order=order_padded)
 
 
 def validate_lbvh(bvh: LBVH, prim_min, prim_max):
@@ -229,3 +312,21 @@ def validate_lbvh(bvh: LBVH, prim_min, prim_max):
     lp = np.asarray(bvh.leaf_prim)
     np.testing.assert_allclose(node_min[n - 1 :], np.asarray(prim_min)[lp], rtol=1e-6)
     np.testing.assert_allclose(node_max[n - 1 :], np.asarray(prim_max)[lp], rtol=1e-6)
+    # skip links: the stackless DFS (descend left, escape via skip) must
+    # visit every node exactly once and terminate at the END sentinel
+    skip = np.asarray(bvh.skip)
+    first = np.asarray(bvh.first)
+    end = 2 * n - 1
+    if n > 1:
+        # for every octant order, the walk "descend via first when internal,
+        # skip when leaf" is a full DFS: every node exactly once, then END
+        for o in range(8):
+            visits = np.zeros(end, dtype=int)
+            node, hops = 0, 0
+            while node != end:
+                assert 0 <= node < end
+                visits[node] += 1
+                node = first[o, node] if node < n - 1 else skip[o, node]
+                hops += 1
+                assert hops <= end + 1, f"octant {o} walk did not terminate"
+            assert (visits == 1).all(), f"octant {o} DFS must visit every node once"

@@ -1,12 +1,17 @@
 """Batched BVH traversal over flat ray wavefronts.
 
 Replaces the hardware traversal behind `traceRayEXT` (driver/RT-core,
-invoked at shaders/raytrace.rgen:71, triangle.rchit:77,103,216) with an
-explicit per-ray short-stack walk, vectorized across the whole wavefront:
-every loop iteration pops one node per ray, tests both children's AABBs,
-pushes survivors ordered near-first, and intersects one triangle per leaf.
-Dead/finished rays are masked; the `lax.while_loop` ends when every ray's
-stack is empty.
+invoked at shaders/raytrace.rgen:71, triangle.rchit:77,103,216) with a
+STACKLESS skip-link ('ropes') walk, vectorized across the whole wavefront:
+each ray carries only its current node id; per iteration it gathers that
+node's AABB, descends to the left child on hit or follows the precomputed
+skip link otherwise, and intersects one triangle at leaves. TPU-first
+rationale: the loop is pure gathers + vector math — no per-ray stack, no
+scatters — which is exactly the memory-access shape XLA compiles well for
+HBM; the cost is fixed DFS child order instead of near-first ordering
+(~1.5-2x more node visits for incoherent rays), a good trade against the
+(N, 64) stack scatter traffic of the classic scheme. The `lax.while_loop`
+ends when every ray has reached the END sentinel.
 
 Cull-mask semantics (raytrace.rgen:71 mask 0xFE vs triangle.rchit:77,103
 mask 0xFF; sphere instances masked 0x01, triangles 0xFF,
@@ -28,7 +33,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from tpurt.bvh.lbvh import LBVH
+from tpurt.bvh.lbvh import LBVH, TriBVH
 from tpurt.kernels.intersect import (
     Hit,
     KIND_MISS,
@@ -67,9 +72,21 @@ def intersect_scene(
       include_spheres: static cull-mask switch (False for camera rays).
       active: (N,) bool; inactive rays are skipped (their result is a miss).
     """
+    if isinstance(bvh, TriBVH):
+        tri_order = bvh.tri_order
+        bvh = bvh.bvh
+        grouped_leaves = True
+    else:
+        # plain LBVH over individual triangles: same machinery with G=1
+        tri_order = bvh.leaf_prim
+        bvh = bvh._replace(
+            leaf_prim=jnp.arange(bvh.leaf_prim.shape[0], dtype=jnp.int32))
+        grouped_leaves = False
+
     n = o.shape[0]
     n_leaves = bvh.num_leaves
     n_internal = bvh.num_internal
+    group_size = tri_order.shape[0] // n_leaves if grouped_leaves else 1
     inv_d = safe_inv_dir(d)
     if active is None:
         active = jnp.ones(n, bool)
@@ -80,81 +97,83 @@ def intersect_scene(
     v_best = jnp.zeros(n, jnp.float32)
 
     if n_internal == 0:
-        # degenerate single-leaf tree: test the one primitive directly
-        prim = bvh.leaf_prim[0]
-        tri = tri_pos[prim]
-        hit, t, u, v = ray_triangle(
-            o, d, tri[None, 0], tri[None, 1], tri[None, 2], t_min, t_best
-        )
-        hit = hit & active
-        t_best = jnp.where(hit, t, t_best)
-        prim_best = jnp.where(hit, prim, prim_best)
-        u_best = jnp.where(hit, u, u_best)
-        v_best = jnp.where(hit, v, v_best)
-    else:
-        stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)
-        sptr = jnp.where(active, 1, 0).astype(jnp.int32)  # root pre-pushed
-
-        def cond(state):
-            sptr, *_ = state
-            return jnp.any(sptr > 0)
-
-        def body(state):
-            sptr, stack, t_best, prim_best, u_best, v_best = state
-            live = sptr > 0
-            top = jnp.maximum(sptr - 1, 0)
-            node = stack[jnp.arange(n), top]
-            node = jnp.where(live, node, 0)
-            sptr = jnp.where(live, sptr - 1, sptr)
-
-            is_leaf = node >= n_internal
-
-            # --- leaf: intersect one triangle -------------------------------
-            leaf_idx = jnp.clip(node - n_internal, 0, n_leaves - 1)
-            prim = bvh.leaf_prim[leaf_idx]
-            tri = tri_pos[prim]  # (N, 3, 3)
+        # degenerate single-leaf tree: test its primitives directly
+        for k in range(group_size):
+            prim = tri_order[k]
+            tri = tri_pos[prim]
             hit, t, u, v = ray_triangle(
-                o, d, tri[:, 0], tri[:, 1], tri[:, 2], t_min, t_best
+                o, d, tri[None, 0], tri[None, 1], tri[None, 2], t_min, t_best
             )
-            hit = hit & live & is_leaf
+            hit = hit & active
             t_best = jnp.where(hit, t, t_best)
             prim_best = jnp.where(hit, prim, prim_best)
             u_best = jnp.where(hit, u, u_best)
             v_best = jnp.where(hit, v, v_best)
+    else:
+        end = bvh.end_sentinel
+        # triangles permuted into group-major leaf order: a leaf's G
+        # triangles are read as ONE contiguous gather row (XLA hoists the
+        # permutation out of the while loop)
+        tri_sorted = tri_pos[tri_order].reshape(n_leaves * group_size, 3, 3)
+        tri_groups = tri_sorted.reshape(n_leaves, group_size * 9)
+        # per-ray direction octant selects the DFS order (near child first)
+        octant = (
+            (d[:, 0] < 0).astype(jnp.int32) * 4
+            + (d[:, 1] < 0).astype(jnp.int32) * 2
+            + (d[:, 2] < 0).astype(jnp.int32)
+        )
+        # flatten (8, ...) link tables so one gather serves all octants
+        n_nodes = end
+        first_pad = jnp.concatenate(
+            [bvh.first, jnp.zeros((8, n_leaves), jnp.int32)], axis=1
+        ).reshape(-1)
+        skip_flat = bvh.skip.reshape(-1)
+        link_base = octant * n_nodes
 
-            # --- internal: test children, push near-first -------------------
-            inner = live & ~is_leaf
-            node_c = jnp.clip(node, 0, n_internal - 1)
-            lchild = bvh.left[node_c]
-            rchild = bvh.right[node_c]
-            hit_l, d_l = ray_aabb(o, inv_d, bvh.node_min[lchild], bvh.node_max[lchild],
-                                  t_min, t_best)
-            hit_r, d_r = ray_aabb(o, inv_d, bvh.node_min[rchild], bvh.node_max[rchild],
-                                  t_min, t_best)
-            hit_l = hit_l & inner
-            hit_r = hit_r & inner
+        node = jnp.where(active, 0, end)
 
-            near_is_l = d_l <= d_r
-            first = jnp.where(near_is_l, lchild, rchild)   # popped last? no: pushed last -> popped first
-            second = jnp.where(near_is_l, rchild, lchild)
-            first_ok = jnp.where(near_is_l, hit_l, hit_r)
-            second_ok = jnp.where(near_is_l, hit_r, hit_l)
+        def cond(state):
+            node, *_ = state
+            return jnp.any(node != end)
 
-            rows = jnp.arange(n)
-            # push far child first so the near child pops first
-            stack = stack.at[rows, jnp.minimum(sptr, STACK_DEPTH - 1)].set(
-                jnp.where(second_ok, second, stack[rows, jnp.minimum(sptr, STACK_DEPTH - 1)])
-            )
-            sptr = sptr + second_ok.astype(jnp.int32)
-            stack = stack.at[rows, jnp.minimum(sptr, STACK_DEPTH - 1)].set(
-                jnp.where(first_ok, first, stack[rows, jnp.minimum(sptr, STACK_DEPTH - 1)])
-            )
-            sptr = sptr + first_ok.astype(jnp.int32)
+        def body(state):
+            node, t_best, prim_best, u_best, v_best = state
+            live = node != end
+            nc = jnp.minimum(node, end - 1)
 
-            return sptr, stack, t_best, prim_best, u_best, v_best
+            box_min = bvh.node_min[nc]
+            box_max = bvh.node_max[nc]
+            hit_box, _ = ray_aabb(o, inv_d, box_min, box_max, t_min, t_best)
+            hit_box = hit_box & live
 
-        sptr, stack, t_best, prim_best, u_best, v_best = jax.lax.while_loop(
-            cond, body, (sptr, stack, t_best, prim_best, u_best, v_best)
+            is_leaf = node >= n_internal
+
+            # leaf: intersect its G triangles (one contiguous gather row)
+            leaf_idx = jnp.clip(nc - n_internal, 0, n_leaves - 1)
+            group = bvh.leaf_prim[leaf_idx]
+            tris = tri_groups[group].reshape(n, group_size, 3, 3)
+            leaf_live = hit_box & is_leaf
+            for k in range(group_size):
+                h, t, u, v = ray_triangle(
+                    o, d, tris[:, k, 0], tris[:, k, 1], tris[:, k, 2],
+                    t_min, t_best
+                )
+                h = h & leaf_live
+                t_best = jnp.where(h, t, t_best)
+                prim_best = jnp.where(h, tri_order[group * group_size + k],
+                                      prim_best)
+                u_best = jnp.where(h, u, u_best)
+                v_best = jnp.where(h, v, v_best)
+
+            # next node: internal+hit -> near child; otherwise skip link
+            descend = hit_box & ~is_leaf
+            nxt = jnp.where(descend, first_pad[link_base + nc],
+                            skip_flat[link_base + nc])
+            node = jnp.where(live, nxt, node)
+            return node, t_best, prim_best, u_best, v_best
+
+        node, t_best, prim_best, u_best, v_best = jax.lax.while_loop(
+            cond, body, (node, t_best, prim_best, u_best, v_best)
         )
 
     kind = jnp.where(prim_best >= 0, KIND_TRIANGLE, KIND_MISS).astype(jnp.int32)

@@ -72,6 +72,10 @@ class RenderConfig:
     # RNG seed; the reference seeds from wall-clock time bits
     # (raytrace.rgen:45); we default to a fixed seed for reproducibility.
     seed: int = 0
+    # Render each progressive sample in row bands of this height (0 = whole
+    # frame in one launch). Chunking bounds per-launch wall time and the
+    # wavefront state memory at high resolutions.
+    chunk_rows: int = 0
 
     @property
     def tan_half_fov(self) -> float:

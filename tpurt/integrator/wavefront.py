@@ -246,12 +246,36 @@ def trace_paths(
         dir1 = jnp.where(pick_env[:, None], dir_hemi, dir_sphere)
 
         nee_o = hit_point + cfg.ray_offset * shading_n
-        h1 = _trace(scene, bvh, nee_o, dir1, jnp.zeros(n), is_tri, True, cfg, has_alpha)
+
+        # sample the BSDF-MIS direction now so both NEE rays trace as ONE
+        # fused 2N batch (halves the latency-bound per-iteration overheads
+        # of the traversal loop on TPU)
+        state, _dead = rng.next_rand(state)  # the overridden lightIndex draw
+        state, u3, u4 = rng.next_uniform2(state)
+        wo = -d
+        al_b = jnp.maximum(alpha, 0.01)
+        micro_n = B.sample_microfacet_distribution(wo, shading_n, al_b, u3, u4)
+        micro_n = jnp.where((alpha > 0.0)[:, None], micro_n, shading_n)
+        dir2 = B.reflect(d, micro_n)
+
+        h12 = _trace(
+            scene, bvh,
+            jnp.concatenate([nee_o, nee_o]),
+            jnp.concatenate([dir1, dir2]),
+            jnp.zeros(2 * n),
+            jnp.concatenate([is_tri, is_tri]),
+            True, cfg, has_alpha,
+        )
+        h1 = Hit(t=h12.t[:n], kind=h12.kind[:n], prim=h12.prim[:n],
+                 u=h12.u[:n], v=h12.v[:n])
+        h2 = Hit(t=h12.t[n:], kind=h12.kind[n:], prim=h12.prim[n:],
+                 u=h12.u[n:], v=h12.v[n:])
         rgb1, a1 = _shadow_payload(scene, h1, throughput, cfg)
         # rmiss increments recursionDepth (raytrace.rmiss:10)
         depth = depth + ((h1.kind == KIND_MISS) & is_tri).astype(jnp.int32)
+        rgb2, a2 = _shadow_payload(scene, h2, throughput, cfg)
+        depth = depth + ((h2.kind == KIND_MISS) & is_tri).astype(jnp.int32)
 
-        wo = -d
         # weightLight (raytrace-common.glsl:51-62), alpha clamp 1e-5
         al_l = jnp.maximum(alpha, 0.00001)
         bsdf_f1 = B.microfacet_bsdf(dir1, wo, shading_n, al_l,
@@ -291,16 +315,7 @@ def trace_paths(
         nee1 = jnp.where(pick_env[:, None], contrib_env, contrib_light)
 
         # ---- NEE sample 2: BSDF-MIS, always envmap branch (:89-108) ----
-        state, _dead = rng.next_rand(state)  # the overridden lightIndex draw
-        state, u3, u4 = rng.next_uniform2(state)
-        al_b = jnp.maximum(alpha, 0.01)
-        micro_n = B.sample_microfacet_distribution(wo, shading_n, al_b, u3, u4)
-        micro_n = jnp.where((alpha > 0.0)[:, None], micro_n, shading_n)
-        dir2 = B.reflect(d, micro_n)
-        h2 = _trace(scene, bvh, nee_o, dir2, jnp.zeros(n), is_tri, True, cfg, has_alpha)
-        rgb2, a2 = _shadow_payload(scene, h2, throughput, cfg)
-        depth = depth + ((h2.kind == KIND_MISS) & is_tri).astype(jnp.int32)
-
+        # (direction sampled above, traced in the fused 2N batch)
         # weightBSDFEnvmap (:95-112), alpha clamp 1e-2
         bsdf_pdf2 = B.pdf_microfacet(dir2, wo, shading_n, al_b)
         vis_env2 = jnp.where(a2 < -1.0, 1.0, 0.0)
@@ -374,7 +389,60 @@ def trace_paths(
     return carry[3]
 
 
-@partial(jax.jit, static_argnames=("width", "height", "cfg", "has_alpha"))
+def camera_rays_for_rows(camera, row_start, rows, width, height, tan_half_fov,
+                         sample_index, seed):
+    """Jittered primary rays for a horizontal band of the image (the same
+    math as camera.generate_rays, offset into the global image plane).
+    `row_start` may be traced; `rows` is static."""
+    n = rows * width
+    local = jnp.arange(n, dtype=jnp.uint32)
+    pix = local + jnp.asarray(row_start, jnp.uint32) * jnp.uint32(width)
+    state = rng.init_state(pix, sample_index, seed)
+    state, jx = rng.next_rand(state)
+    state, jy = rng.next_rand(state)
+    px = (pix % jnp.uint32(width)).astype(jnp.float32)
+    py = (pix // jnp.uint32(width)).astype(jnp.float32)
+    point_x = (px + jx - 0.5) / jnp.float32(width) - 0.5
+    point_y = (py + jy - 0.5) / jnp.float32(height) - 0.5
+    t = jnp.float32(tan_half_fov)
+    aspect = jnp.float32(width / height)
+    d = (
+        camera.direction[None, :]
+        + point_x[:, None] * (2.0 * t * aspect) * camera.right[None, :]
+        + point_y[:, None] * (2.0 * t) * camera.up[None, :]
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(camera.position[None, :], (n, 3))
+    return o, d, state
+
+
+@partial(jax.jit, static_argnames=("rows", "width", "height", "cfg", "has_alpha"))
+def render_rows(
+    scene: DeviceScene,
+    bvh: LBVH,
+    camera: Camera,
+    sample_index,
+    row_start,
+    *,
+    rows: int,
+    width: int,
+    height: int,
+    cfg: RenderConfig,
+    has_alpha: bool,
+):
+    """Render one progressive sample for a band of `rows` image rows.
+
+    Frame chunking serves two TPU constraints: per-launch wall-time limits
+    (remote execution) and memory for the wavefront state at high
+    resolutions. Returns (rows, width, 4) radiance."""
+    o, d, state = camera_rays_for_rows(camera, row_start, rows, width, height,
+                                       cfg.tan_half_fov, sample_index, cfg.seed)
+    radiance = trace_paths(scene, bvh, o, d, state, cfg=cfg, has_alpha=has_alpha)
+    n = rows * width
+    img = jnp.concatenate([radiance, jnp.ones((n, 1), jnp.float32)], axis=-1)
+    return img.reshape(rows, width, 4)
+
+
 def render_sample(
     scene: DeviceScene,
     bvh: LBVH,
@@ -385,20 +453,52 @@ def render_sample(
     height: int,
     cfg: RenderConfig,
     has_alpha: bool,
+    chunk_rows: int = 0,
 ):
     """Render one progressive sample (1 spp): returns (H, W, 4) radiance.
 
-    The caller feeds the result into film.accumulate (the rgen running
-    average, raytrace.rgen:75-76)."""
-    n = width * height
-    state = rng.init_state(jnp.arange(n, dtype=jnp.uint32), sample_index, cfg.seed)
-    o, d, state = generate_rays(camera, width, height, cfg.tan_half_fov, state)
-    radiance = trace_paths(scene, bvh, o, d, state, cfg=cfg, has_alpha=has_alpha)
+    With chunk_rows > 0 the frame is rendered in independent row bands
+    (one device launch each). The caller feeds the result into
+    film.accumulate (the rgen running average, raytrace.rgen:75-76)."""
+    if chunk_rows <= 0 or chunk_rows >= height:
+        return render_rows(scene, bvh, camera, sample_index, 0, rows=height,
+                           width=width, height=height, cfg=cfg,
+                           has_alpha=has_alpha)
+    bands = []
+    row = 0
+    while row < height:
+        rows = min(chunk_rows, height - row)
+        bands.append(render_rows(scene, bvh, camera, sample_index, row,
+                                 rows=rows, width=width, height=height,
+                                 cfg=cfg, has_alpha=has_alpha))
+        row += rows
+    return jnp.concatenate(bands, axis=0)
+
+
+@partial(jax.jit, static_argnames=("rows", "width", "height", "cfg", "has_alpha"))
+def render_rows_stats(
+    scene: DeviceScene,
+    bvh: LBVH,
+    camera: Camera,
+    sample_index,
+    row_start,
+    *,
+    rows: int,
+    width: int,
+    height: int,
+    cfg: RenderConfig,
+    has_alpha: bool,
+):
+    """render_rows + the traced-ray count (for Mrays/s benchmarking)."""
+    o, d, state = camera_rays_for_rows(camera, row_start, rows, width, height,
+                                       cfg.tan_half_fov, sample_index, cfg.seed)
+    radiance, rays = trace_paths(scene, bvh, o, d, state, cfg=cfg,
+                                 has_alpha=has_alpha, return_stats=True)
+    n = rows * width
     img = jnp.concatenate([radiance, jnp.ones((n, 1), jnp.float32)], axis=-1)
-    return img.reshape(height, width, 4)
+    return img.reshape(rows, width, 4), rays
 
 
-@partial(jax.jit, static_argnames=("width", "height", "cfg", "has_alpha"))
 def render_sample_stats(
     scene: DeviceScene,
     bvh: LBVH,
@@ -409,12 +509,22 @@ def render_sample_stats(
     height: int,
     cfg: RenderConfig,
     has_alpha: bool,
+    chunk_rows: int = 0,
 ):
-    """render_sample + the traced-ray count (for Mrays/s benchmarking)."""
-    n = width * height
-    state = rng.init_state(jnp.arange(n, dtype=jnp.uint32), sample_index, cfg.seed)
-    o, d, state = generate_rays(camera, width, height, cfg.tan_half_fov, state)
-    radiance, rays = trace_paths(scene, bvh, o, d, state, cfg=cfg,
-                                 has_alpha=has_alpha, return_stats=True)
-    img = jnp.concatenate([radiance, jnp.ones((n, 1), jnp.float32)], axis=-1)
-    return img.reshape(height, width, 4), rays
+    """render_sample + the traced-ray count, with optional row chunking."""
+    if chunk_rows <= 0 or chunk_rows >= height:
+        return render_rows_stats(scene, bvh, camera, sample_index, 0,
+                                 rows=height, width=width, height=height,
+                                 cfg=cfg, has_alpha=has_alpha)
+    bands, rays_total = [], 0.0
+    row = 0
+    while row < height:
+        rows = min(chunk_rows, height - row)
+        band, rays = render_rows_stats(scene, bvh, camera, sample_index, row,
+                                       rows=rows, width=width, height=height,
+                                       cfg=cfg, has_alpha=has_alpha)
+        band.block_until_ready()
+        bands.append(band)
+        rays_total += float(rays)
+        row += rows
+    return jnp.concatenate(bands, axis=0), rays_total

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpurt import film
-from tpurt.bvh import build_lbvh, triangle_aabbs
+from tpurt.bvh import build_triangle_bvh
 from tpurt.camera import Camera
 from tpurt.config import RenderConfig, SphereLight
 from tpurt.integrator import render_sample
@@ -42,7 +42,7 @@ class Renderer:
             self.device_scene = build_device_scene(scene, lights=lights)
             self.camera = camera or camera_for_render(scene.camera)
         self.has_alpha = bool(np.asarray(self.device_scene.tri_alpha).any())
-        self.bvh = build_lbvh(*triangle_aabbs(self.device_scene.tri_pos))
+        self.bvh = build_triangle_bvh(self.device_scene.tri_pos)
         self.reset()
 
     @classmethod
@@ -90,6 +90,7 @@ class Renderer:
             height=cfg.height,
             cfg=cfg,
             has_alpha=self.has_alpha,
+            chunk_rows=cfg.chunk_rows,
         )
         self.accum = film.accumulate(self.accum, radiance, self.sample_count)
         self.accum.block_until_ready()
