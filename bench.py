@@ -34,7 +34,7 @@ def main():
         width, height, samples, columns, foliage = 1920, 1080, 2, 6, 48
         # the remote-TPU tunnel enforces a ~60s per-launch wall limit;
         # 45-row bands (~86k rays) keep each launch safely under it
-        chunk_rows = 45
+        chunk_rows = 135
     else:
         width, height, samples, columns, foliage = 320, 240, 2, 2, 8
         chunk_rows = 0

@@ -278,7 +278,13 @@ def build_triangle_bvh(tri_pos: jnp.ndarray, group_size: int = 4,
     gmin = pmin[order_padded].reshape(n_groups, group_size, 3).min(axis=1)
     gmax = pmax[order_padded].reshape(n_groups, group_size, 3).max(axis=1)
     bvh = build_lbvh(gmin, gmax, refit_passes=refit_passes)
-    return TriBVH(bvh=bvh, tri_order=order_padded)
+    # permute triangle blocks into leaf order so leaf l's triangles sit at
+    # block l (identity leaf_prim): both the XLA walk and the Pallas packet
+    # kernel then address leaf triangles with pure arithmetic
+    tri_order_leaf = order_padded.reshape(n_groups, group_size)[
+        bvh.leaf_prim].reshape(-1)
+    bvh = bvh._replace(leaf_prim=jnp.arange(n_groups, dtype=jnp.int32))
+    return TriBVH(bvh=bvh, tri_order=tri_order_leaf)
 
 
 def validate_lbvh(bvh: LBVH, prim_min, prim_max):

@@ -188,6 +188,32 @@ def intersect_scene(
     return Hit(t=t_best, kind=kind, prim=prim_best, u=u_best, v=v_best)
 
 
+def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
+                include_spheres=True, active=None, interpret=False) -> Hit:
+    """Closest-hit dispatcher: Pallas packet kernel when `bvh` is a
+    KernelBVH (TPU, scene resident in VMEM), batched XLA walk otherwise."""
+    from tpurt.kernels.pallas_traverse import KernelBVH, traverse_packets
+
+    if not isinstance(bvh, KernelBVH):
+        return intersect_scene(bvh, tri_pos, lights, o, d, t_min, t_max,
+                               include_spheres=include_spheres, active=active)
+
+    n = o.shape[0]
+    if active is None:
+        active = jnp.ones(n, bool)
+    t, prim, u, v = traverse_packets(bvh, o, d, t_min, t_max, active,
+                                     interpret=interpret)
+    kind = jnp.where(prim >= 0, KIND_TRIANGLE, KIND_MISS).astype(jnp.int32)
+    t = jnp.where(prim >= 0, t, t_max)
+    if include_spheres and lights.shape[0] > 0:
+        s_hit, s_t, s_id = intersect_spheres(o, d, lights, t_min, t_max)
+        s_hit = s_hit & active & (s_t < t)
+        t = jnp.where(s_hit, s_t, t)
+        prim = jnp.where(s_hit, s_id, prim)
+        kind = jnp.where(s_hit, KIND_SPHERE, kind)
+    return Hit(t=t, kind=kind, prim=prim, u=u, v=v)
+
+
 def intersect_brute_force(tri_pos, lights, o, d, t_min, t_max, include_spheres=True):
     """Reference oracle: test every ray against every triangle (chunked).
     Used by tests to validate BVH traversal; also the fast path for tiny

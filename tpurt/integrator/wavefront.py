@@ -52,7 +52,7 @@ import jax.numpy as jnp
 
 from tpurt import rng
 from tpurt.bvh.lbvh import LBVH
-from tpurt.bvh.traverse import intersect_scene
+from tpurt.bvh.traverse import closest_hit
 from tpurt.camera import Camera, generate_rays
 from tpurt.config import RenderConfig
 from tpurt.kernels import bsdf as B
@@ -69,7 +69,7 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
            has_alpha: bool) -> Hit:
     """Closest-hit trace with the alpha-test re-trace loop (replaces
     hardware any-hit, raytrace.rahit:57-58)."""
-    hit = intersect_scene(
+    hit = closest_hit(
         bvh, scene.tri_pos, scene.lights, o, d, t_min0, cfg.t_max,
         include_spheres=include_spheres, active=active,
     )
@@ -97,7 +97,7 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
         i, h, t_min = state
         rej = alpha_rejected(h)
         t_min = jnp.where(rej, h.t * (1.0 + 1e-6) + 1e-5, t_min)
-        nh = intersect_scene(
+        nh = closest_hit(
             bvh, scene.tri_pos, scene.lights, o, d, t_min, cfg.t_max,
             include_spheres=include_spheres, active=active & rej,
         )

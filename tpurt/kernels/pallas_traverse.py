@@ -1,0 +1,277 @@
+"""Pallas TPU packet-traversal kernel: the hot closest-hit path.
+
+Why a kernel: XLA's dynamic-gather on TPU runs at ~1e8 rows/s inside loops,
+capping the batched per-ray traversal at a few Mrays/s. v5e has ~128 MB of
+VMEM — the whole BVH + triangle soup of a Sponza-scale scene fits ON CHIP —
+and Mosaic supports scalar-indexed dynamic row reads from VMEM at ~few ns.
+This kernel exploits both: rays are processed in PACKETS of 1024 (one
+(8, 128) f32 vreg block per component); each packet walks the stackless
+rope BVH with a single SCALAR node cursor, testing the node's AABB against
+all 1024 rays per step (vector ops) and descending if ANY active ray hits.
+Leaf visits test the leaf's G triangles (contiguous VMEM row) against the
+whole packet. Per-ray t_best still prunes individually; packet coherence
+(image tiles for camera rays) keeps the union of visited nodes close to a
+single ray's visit count.
+
+Memory layout: Mosaic lane-pads every row to 128 floats, so narrow tables
+waste VMEM; leaf rows therefore hold ALL G triangles of a leaf (G=14 ->
+126 of 128 lanes used) and node rows keep the simple
+[min3, max3, pad2] + [hit_link, miss_link] layout whose scalar extraction
+Mosaic lowers reliably (denser 16-nodes-per-row packing with one-hot lane
+extraction hangs the current Mosaic backend). A Sponza-scale scene
+(262k tris, G=14 -> 37k nodes) packs into ~48 MB of VMEM, inside the
+64 MB scoped budget.
+
+Replaces hardware traceRayEXT (raytrace.rgen:71 etc.) for scenes whose
+packed data fits the VMEM budget; tpurt.bvh.traverse.intersect_scene
+remains the portable fallback (CPU tests, oversized scenes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurt.bvh.lbvh import TriBVH
+
+PACKET = 1024  # rays per packet: one (8, 128) f32 block per component
+_SUB, _LANE = 8, 128
+KERNEL_GROUP = 14  # G*9 = 126 <= 128 lanes: one full row per leaf
+
+
+class KernelBVH(NamedTuple):
+    """TriBVH plus its packed VMEM tables: the device structure consumed by
+    the packet kernel. A pytree; drop-in for TriBVH wherever closest_hit
+    dispatches."""
+
+    tribvh: TriBVH
+    node_box: jnp.ndarray  # (M, 8) f32 [min3, max3, 0, 0]
+    links: jnp.ndarray     # (M, 2) i32 [hit_next, miss_next]
+    tri_rows: jnp.ndarray  # (L, G*9) f32
+
+
+def make_kernel_bvh(tribvh: TriBVH, tri_pos: jnp.ndarray) -> "KernelBVH":
+    node_box, links, tri_rows = pack_scene_for_kernel(tribvh, tri_pos)
+    return KernelBVH(tribvh=tribvh, node_box=node_box, links=links,
+                     tri_rows=tri_rows)
+
+
+def pack_scene_for_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray):
+    """Build the VMEM-resident tables the kernel consumes.
+
+    Requires the TriBVH built with identity leaf order (leaf l covers
+    sorted-triangle block l, see build_triangle_bvh) and group_size*9 <= 128.
+    """
+    bvh = tribvh.bvh
+    g = tribvh.group_size
+    assert g * 9 <= _LANE, f"group_size {g} does not fit a 128-lane leaf row"
+    node_box = jnp.concatenate(
+        [bvh.node_min, bvh.node_max,
+         jnp.zeros((bvh.node_min.shape[0], 2), jnp.float32)], axis=1)
+    # single DFS order for the packet cursor (+x+y+z octant order)
+    first_pad = jnp.concatenate(
+        [bvh.first[0], jnp.zeros(bvh.num_leaves, jnp.int32)])
+    links = jnp.stack([first_pad, bvh.skip[0]], axis=1)
+    tri_sorted = tri_pos[tribvh.tri_order]  # (L*G, 3, 3)
+    tri_rows = tri_sorted.reshape(bvh.num_leaves, g * 9)
+    return node_box, links, tri_rows
+
+
+def _traverse_kernel(nb_ref, lk_ref, tr_ref,
+                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                     tmin_ref, act_ref,
+                     t_ref, prim_ref, u_ref, v_ref,
+                     *, n_internal: int, n_leaves: int, group: int,
+                     t_max: float):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    t_min = tmin_ref[:]
+    active = act_ref[:] > 0.0
+
+    tiny = jnp.float32(1e-20)
+    inv_x = jnp.where(dx >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dx), tiny)
+    inv_y = jnp.where(dy >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dy), tiny)
+    inv_z = jnp.where(dz >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dz), tiny)
+
+    end = jnp.int32(2 * n_leaves - 1)
+
+    def tri_test(row, k, t_best, prim, uu, vv, leaf):
+        base = k * 9
+        v0x, v0y, v0z = row[base + 0], row[base + 1], row[base + 2]
+        v1x, v1y, v1z = row[base + 3], row[base + 4], row[base + 5]
+        v2x, v2y, v2z = row[base + 6], row[base + 7], row[base + 8]
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        # pvec = d x e2
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) > 1e-12
+        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        # qvec = tvec x e1
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+               & (t > t_min) & (t < t_best) & active)
+        t_best = jnp.where(hit, t, t_best)
+        prim = jnp.where(hit, leaf * group + k, prim)
+        uu = jnp.where(hit, u, uu)
+        vv = jnp.where(hit, v, vv)
+        return t_best, prim, uu, vv
+
+    def body(carry):
+        node, t_best, prim, uu, vv = carry
+        box = nb_ref[node]
+        link_hit = lk_ref[node, 0]
+        link_miss = lk_ref[node, 1]
+
+        t0x = (box[0] - ox) * inv_x
+        t1x = (box[3] - ox) * inv_x
+        t0y = (box[1] - oy) * inv_y
+        t1y = (box[4] - oy) * inv_y
+        t0z = (box[2] - oz) * inv_z
+        t1z = (box[5] - oz) * inv_z
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+        hit_any = jnp.any((tn <= tf) & active)
+
+        is_leaf = node >= n_internal
+
+        def leaf_fn(args):
+            t_best, prim, uu, vv = args
+            leaf = node - n_internal
+            row = tr_ref[leaf]
+            for k in range(group):
+                t_best, prim, uu, vv = tri_test(row, k, t_best, prim, uu, vv,
+                                                leaf)
+            return t_best, prim, uu, vv
+
+        t_best, prim, uu, vv = jax.lax.cond(
+            is_leaf & hit_any, leaf_fn, lambda a: a, (t_best, prim, uu, vv))
+
+        descend = hit_any & jnp.logical_not(is_leaf)
+        node = jax.lax.select(descend, link_hit, link_miss)
+        return node, t_best, prim, uu, vv
+
+    init = (
+        jnp.int32(0),
+        jnp.full((_SUB, _LANE), t_max, jnp.float32),
+        jnp.full((_SUB, _LANE), -1, jnp.int32),
+        jnp.zeros((_SUB, _LANE), jnp.float32),
+        jnp.zeros((_SUB, _LANE), jnp.float32),
+    )
+    node, t_best, prim, uu, vv = jax.lax.while_loop(
+        lambda c: c[0] != end, body, init)
+
+    t_ref[:] = t_best
+    prim_ref[:] = prim
+    u_ref[:] = uu
+    v_ref[:] = vv
+
+
+@functools.partial(jax.jit, static_argnames=("n_internal", "n_leaves", "group",
+                                             "t_max", "interpret"))
+def _traverse_packets(node_box, links, tri_rows, ox, oy, oz, dx, dy, dz,
+                      tmin, act, *, n_internal, n_leaves, group, t_max,
+                      interpret=False):
+    n_packets = ox.shape[0] // _SUB
+    grid = (n_packets,)
+    ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p: (p, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(_traverse_kernel, n_internal=n_internal,
+                               n_leaves=n_leaves, group=group, t_max=t_max)
+    out_shape = [
+        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(ox.shape, jnp.int32),
+        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
+    ]
+    params = {}
+    if not interpret:
+        # scene tables live wholly in VMEM; the default 16MB scoped limit is
+        # below what large scenes need (physical VMEM on v5e is ~128MB; the
+        # limit must also leave headroom, 112MB provokes allocator stalls)
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[full, full, full] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+        **params,
+    )(node_box, links, tri_rows, ox, oy, oz, dx, dy, dz, tmin, act)
+
+
+def traverse_packets(kbvh: KernelBVH, o, d, t_min, t_max, active,
+                     interpret: bool = False):
+    """Closest-hit for a flat ray batch via the packet kernel.
+
+    Args:
+      kbvh: make_kernel_bvh output.
+      o, d: (N, 3); t_min: (N,); active: (N,) bool.
+    Returns (t, prim(original tri ids, -1 miss), u, v) each (N,).
+    """
+    tribvh = kbvh.tribvh
+    n = o.shape[0]
+    padded = max(PACKET, ((n + PACKET - 1) // PACKET) * PACKET)
+
+    def lay(x, fill):
+        x = jnp.concatenate([x, jnp.full(padded - n, fill, x.dtype)]) if padded > n else x
+        return x.reshape(padded // _LANE, _LANE)
+
+    ox = lay(o[:, 0], 0.0)
+    oy = lay(o[:, 1], 0.0)
+    oz = lay(o[:, 2], 0.0)
+    dx = lay(d[:, 0], 1.0)
+    dy = lay(d[:, 1], 1.0)
+    dz = lay(d[:, 2], 1.0)
+    tm = lay(t_min, 0.0)
+    ac = lay(active.astype(jnp.float32), 0.0)
+
+    t, sorted_prim, u, v = _traverse_packets(
+        kbvh.node_box, kbvh.links, kbvh.tri_rows, ox, oy, oz, dx, dy, dz,
+        tm, ac,
+        n_internal=tribvh.bvh.num_internal, n_leaves=tribvh.bvh.num_leaves,
+        group=tribvh.group_size, t_max=float(t_max), interpret=interpret)
+
+    t = t.reshape(-1)[:n]
+    sorted_prim = sorted_prim.reshape(-1)[:n]
+    u = u.reshape(-1)[:n]
+    v = v.reshape(-1)[:n]
+    prim = jnp.where(sorted_prim >= 0,
+                     tribvh.tri_order[jnp.clip(sorted_prim, 0, None)],
+                     -1)
+    return t, prim, u, v
+
+
+def kernel_supported(tribvh: TriBVH, tri_pos, vmem_budget_bytes=52 * 2 ** 20
+                     ) -> bool:
+    """Whether the packed scene fits the kernel's VMEM budget (physical
+    bytes after Mosaic's lane padding to 128)."""
+    if tribvh.group_size * 9 > _LANE:
+        return False
+    n_leaves = tribvh.bvh.num_leaves
+    m = 2 * n_leaves - 1
+    node_bytes = m * _LANE * 4   # (M, 8) lane-padded
+    link_bytes = m * _LANE * 4   # (M, 2) lane-padded
+    tri_bytes = n_leaves * _LANE * 4
+    return (node_bytes + link_bytes + tri_bytes) < vmem_budget_bytes

@@ -42,7 +42,17 @@ class Renderer:
             self.device_scene = build_device_scene(scene, lights=lights)
             self.camera = camera or camera_for_render(scene.camera)
         self.has_alpha = bool(np.asarray(self.device_scene.tri_alpha).any())
-        self.bvh = build_triangle_bvh(self.device_scene.tri_pos)
+        # group size 14 packs each leaf's triangles into one 126-lane VMEM
+        # row for the Pallas kernel (kernels/pallas_traverse.py)
+        self.bvh = build_triangle_bvh(self.device_scene.tri_pos, group_size=14)
+        # on TPU, upgrade to the Pallas packet-traversal structure when the
+        # packed scene fits the VMEM budget (kernels/pallas_traverse.py)
+        if jax.default_backend() not in ("cpu",):
+            from tpurt.kernels.pallas_traverse import (
+                kernel_supported, make_kernel_bvh)
+
+            if kernel_supported(self.bvh, self.device_scene.tri_pos):
+                self.bvh = make_kernel_bvh(self.bvh, self.device_scene.tri_pos)
         self.reset()
 
     @classmethod
