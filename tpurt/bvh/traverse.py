@@ -189,9 +189,15 @@ def intersect_scene(
 
 
 def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
-                include_spheres=True, active=None, interpret=False) -> Hit:
+                include_spheres=True, active=None, interpret=False,
+                sort_rays=True) -> Hit:
     """Closest-hit dispatcher: Pallas packet kernel when `bvh` is a
-    KernelBVH (TPU, scene resident in VMEM), batched XLA walk otherwise."""
+    KernelBVH (TPU, scene resident in VMEM), batched XLA walk otherwise.
+
+    The packet kernel descends whenever ANY ray of a 1024-ray packet hits a
+    node, so incoherent packets walk near the whole tree. `sort_rays` groups
+    rays by direction octant (origins are already tile-coherent), which
+    collapses the per-packet visit union for secondary/NEE waves."""
     from tpurt.kernels.pallas_traverse import KernelBVH, traverse_packets
 
     if not isinstance(bvh, KernelBVH):
@@ -201,8 +207,34 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
     n = o.shape[0]
     if active is None:
         active = jnp.ones(n, bool)
-    t, prim, u, v = traverse_packets(bvh, o, d, t_min, t_max, active,
-                                     interpret=interpret)
+
+    if sort_rays and n > 2048:
+        from tpurt.bvh.lbvh import morton3
+
+        octant = (
+            (d[:, 0] < 0).astype(jnp.int32) * 4
+            + (d[:, 1] < 0).astype(jnp.int32) * 2
+            + (d[:, 2] < 0).astype(jnp.int32)
+        )
+        # spatial key: morton of the origin within the scene bounds (root
+        # node AABB) keeps packets origin-coherent within each octant
+        kb = bvh
+        root_lo = kb.node_box[0, :3]
+        root_hi = kb.node_box[0, 3:6]
+        extent = jnp.maximum(root_hi - root_lo, 1e-20)
+        m = morton3((o - root_lo) / extent).astype(jnp.int32)
+        key = (octant << jnp.int32(27)) | (m >> jnp.int32(3))
+        # inactive rays sort to the back so whole packets retire instantly
+        key = jnp.where(active, key, jnp.int32(2 ** 30))
+        perm = jnp.argsort(key, stable=True)
+        inv = jnp.argsort(perm)
+        t, prim, u, v = traverse_packets(
+            bvh, o[perm], d[perm], t_min[perm], t_max, active[perm],
+            interpret=interpret)
+        t, prim, u, v = t[inv], prim[inv], u[inv], v[inv]
+    else:
+        t, prim, u, v = traverse_packets(bvh, o, d, t_min, t_max, active,
+                                         interpret=interpret)
     kind = jnp.where(prim >= 0, KIND_TRIANGLE, KIND_MISS).astype(jnp.int32)
     t = jnp.where(prim >= 0, t, t_max)
     if include_spheres and lights.shape[0] > 0:

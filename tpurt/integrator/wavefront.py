@@ -58,7 +58,7 @@ from tpurt.config import RenderConfig
 from tpurt.kernels import bsdf as B
 from tpurt.kernels.intersect import Hit, KIND_MISS, KIND_SPHERE, KIND_TRIANGLE
 from tpurt.kernels.lights import pdf_sphere, sample_hemisphere_uniform, sample_sphere
-from tpurt.kernels.texture import sample_texture
+from tpurt.kernels.texture import sample_texture, sample_texture_alpha_nearest
 from tpurt.scene.device import DeviceScene
 from tpurt.scene.types import NO_TEXTURE
 
@@ -66,12 +66,12 @@ MAX_WAVES = 8  # camera hit + up to 7 bounces (recursion cap, PipelineBuilder.cp
 
 
 def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
-           has_alpha: bool) -> Hit:
+           has_alpha: bool, sort_rays: bool = True) -> Hit:
     """Closest-hit trace with the alpha-test re-trace loop (replaces
     hardware any-hit, raytrace.rahit:57-58)."""
     hit = closest_hit(
         bvh, scene.tri_pos, scene.lights, o, d, t_min0, cfg.t_max,
-        include_spheres=include_spheres, active=active,
+        include_spheres=include_spheres, active=active, sort_rays=sort_rays,
     )
     if not has_alpha:
         return hit
@@ -80,26 +80,38 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
         is_tri = h.kind == KIND_TRIANGLE
         prim = jnp.clip(h.prim, 0, scene.tri_pos.shape[0] - 1)
         tested = scene.tri_alpha[prim] & is_tri
-        mat = scene.tri_mat[prim]
-        uv3 = scene.tri_uv[prim]
-        w = jnp.stack([1.0 - h.u - h.v, h.u, h.v], axis=-1)
-        uv = jnp.sum(w[..., None] * uv3, axis=1)
-        tex = scene.materials.tex_albedo[mat]
-        texel = sample_texture(scene.atlas, scene.tex_table, tex, uv[:, 0], uv[:, 1])
-        a = jnp.where(tex == NO_TEXTURE, 1.0, texel[:, 3])
-        return tested & (a < scene.materials.alpha_cutoff[mat])
+
+        def evaluate(_):
+            mat = scene.tri_mat[prim]
+            uv3 = scene.tri_uv[prim]
+            w = jnp.stack([1.0 - h.u - h.v, h.u, h.v], axis=-1)
+            uv = jnp.sum(w[..., None] * uv3, axis=1)
+            tex = scene.materials.tex_albedo[mat]
+            a = sample_texture_alpha_nearest(scene.atlas, scene.tex_table, tex,
+                                             uv[:, 0], uv[:, 1])
+            a = jnp.where(tex == NO_TEXTURE, 1.0, a)
+            return tested & (a < scene.materials.alpha_cutoff[mat])
+
+        # most waves hit no alpha-tested geometry at all: skip the gather
+        # heavy uv/texture evaluation entirely in that case
+        return jax.lax.cond(jnp.any(tested), evaluate,
+                            lambda _: jnp.zeros_like(tested), None)
+
+    # carry the rejection mask so each iteration evaluates the (gather
+    # heavy) texture test once, not once in cond and once in body
+    rej0 = alpha_rejected(hit)
 
     def cond(state):
-        i, h, t_min = state
-        return (i < cfg.max_alpha_skips) & jnp.any(alpha_rejected(h))
+        i, h, t_min, rej = state
+        return (i < cfg.max_alpha_skips) & jnp.any(rej)
 
     def body(state):
-        i, h, t_min = state
-        rej = alpha_rejected(h)
+        i, h, t_min, rej = state
         t_min = jnp.where(rej, h.t * (1.0 + 1e-6) + 1e-5, t_min)
         nh = closest_hit(
             bvh, scene.tri_pos, scene.lights, o, d, t_min, cfg.t_max,
             include_spheres=include_spheres, active=active & rej,
+            sort_rays=sort_rays,
         )
         h = Hit(
             t=jnp.where(rej, nh.t, h.t),
@@ -108,9 +120,10 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
             u=jnp.where(rej, nh.u, h.u),
             v=jnp.where(rej, nh.v, h.v),
         )
-        return i + 1, h, t_min
+        rej = alpha_rejected(h) & rej  # only re-traced rays can be rejected
+        return i + 1, h, t_min, rej
 
-    _, hit, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), hit, t_min0))
+    _, hit, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), hit, t_min0, rej0))
     return hit
 
 
@@ -143,8 +156,13 @@ def trace_paths(
     cfg: RenderConfig,
     has_alpha: bool,
     return_stats: bool = False,
+    tex_flags: Tuple[bool, bool, bool, bool] = (True, True, True, True),
 ):
     """Trace a flat batch of camera rays through the full wavefront loop.
+
+    tex_flags = (albedo, metallic-roughness, normal, emissive): static
+    scene-level booleans; texture slots unused by every material skip their
+    sampling entirely (each slot costs 4 gather taps per shaded wave).
 
     Returns (N, 3) radiance (and, with return_stats, the number of logical
     traceRayEXT-equivalent rays traced — 1 per active wave ray + 2 NEE rays
@@ -166,8 +184,10 @@ def trace_paths(
          active) = carry
         include_spheres = wave_idx > 0  # static python bool per unrolled wave
 
+        # camera packets (wave 0) are already tile-coherent; later waves
+        # benefit from (octant, origin-morton) sorting
         hit = _trace(scene, bvh, o, d, jnp.zeros(n), active, include_spheres,
-                     cfg, has_alpha)
+                     cfg, has_alpha, sort_rays=bool(wave_idx))
 
         is_tri = active & (hit.kind == KIND_TRIANGLE)
         rays_traced = rays_traced + jnp.sum(active) + 2.0 * jnp.sum(is_tri)
@@ -189,44 +209,58 @@ def trace_paths(
         normal = jnp.sum(w_bary * scene.tri_normal[prim], axis=1)
         normal = normal / jnp.maximum(
             jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
-        tangent4 = jnp.sum(w_bary * scene.tri_tangent[prim], axis=1)
-        tangent = tangent4[:, :3] / jnp.maximum(
-            jnp.linalg.norm(tangent4[:, :3], axis=-1, keepdims=True), 1e-20)
+        if tex_flags[2]:  # tangents feed only the normal-mapping TBN
+            tangent4 = jnp.sum(w_bary * scene.tri_tangent[prim], axis=1)
+            tangent = tangent4[:, :3] / jnp.maximum(
+                jnp.linalg.norm(tangent4[:, :3], axis=-1, keepdims=True), 1e-20)
 
         hit_point = o + hit.t[:, None] * d
 
         m = scene.materials
         albedo = m.albedo_scale[mat][:, :3]
-        tex_a = m.tex_albedo[mat]
-        texel_a = sample_texture(scene.atlas, scene.tex_table, tex_a, uv[:, 0], uv[:, 1])
-        albedo = jnp.where((tex_a != NO_TEXTURE)[:, None],
-                           albedo * texel_a[:, :3], albedo)  # triangle.rchit:161-163
+        if tex_flags[0]:
+            tex_a = m.tex_albedo[mat]
+            texel_a = sample_texture(scene.atlas, scene.tex_table, tex_a,
+                                     uv[:, 0], uv[:, 1])
+            albedo = jnp.where((tex_a != NO_TEXTURE)[:, None],
+                               albedo * texel_a[:, :3], albedo)  # triangle.rchit:161-163
 
         # normal mapping via TBN (triangle.rchit:166-171)
-        tex_n = m.tex_normal[mat]
-        nf = m.normal_factor[mat]
-        texel_n = sample_texture(scene.atlas, scene.tex_table, tex_n, uv[:, 0], uv[:, 1])
-        nm = (texel_n[:, :3] * 2.0 - 1.0) * nf[:, None]
-        bitangent = jnp.cross(normal, tangent) * tangent4[:, 3:4]
-        mapped = (nm[:, 0:1] * tangent + nm[:, 1:2] * bitangent + nm[:, 2:3] * normal)
-        mapped = mapped / jnp.maximum(
-            jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20)
-        use_nm = (tex_n != NO_TEXTURE) & (jnp.abs(nf) > 0.001)
-        shading_n = jnp.where(use_nm[:, None], mapped, normal)
+        shading_n = normal
+        if tex_flags[2]:
+            tex_n = m.tex_normal[mat]
+            nf = m.normal_factor[mat]
+            texel_n = sample_texture(scene.atlas, scene.tex_table, tex_n,
+                                     uv[:, 0], uv[:, 1])
+            nm = (texel_n[:, :3] * 2.0 - 1.0) * nf[:, None]
+            bitangent = jnp.cross(normal, tangent) * tangent4[:, 3:4]
+            mapped = (nm[:, 0:1] * tangent + nm[:, 1:2] * bitangent
+                      + nm[:, 2:3] * normal)
+            mapped = mapped / jnp.maximum(
+                jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20)
+            use_nm = (tex_n != NO_TEXTURE) & (jnp.abs(nf) > 0.001)
+            shading_n = jnp.where(use_nm[:, None], mapped, normal)
 
         # emissive (triangle.rchit:175-178)
-        tex_e = m.tex_emissive[mat]
-        texel_e = sample_texture(scene.atlas, scene.tex_table, tex_e, uv[:, 0], uv[:, 1])
-        emissive = jnp.where(
-            (tex_e != NO_TEXTURE)[:, None],
-            texel_e[:, :3] * m.emissive[mat][:, :3],
-            m.emissive[mat][:, :3] * cfg.emissive_untextured_scale,
-        )
+        emissive = m.emissive[mat][:, :3] * cfg.emissive_untextured_scale
+        if tex_flags[3]:
+            tex_e = m.tex_emissive[mat]
+            texel_e = sample_texture(scene.atlas, scene.tex_table, tex_e,
+                                     uv[:, 0], uv[:, 1])
+            emissive = jnp.where(
+                (tex_e != NO_TEXTURE)[:, None],
+                texel_e[:, :3] * m.emissive[mat][:, :3],
+                emissive,
+            )
 
         # roughness * metallicRoughness texture green channel (:180-184)
-        tex_mr = m.tex_mr[mat]
-        texel_mr = sample_texture(scene.atlas, scene.tex_table, tex_mr, uv[:, 0], uv[:, 1])
-        roughness = m.roughness[mat] * jnp.where(tex_mr != NO_TEXTURE, texel_mr[:, 1], 1.0)
+        roughness = m.roughness[mat]
+        if tex_flags[1]:
+            tex_mr = m.tex_mr[mat]
+            texel_mr = sample_texture(scene.atlas, scene.tex_table, tex_mr,
+                                      uv[:, 0], uv[:, 1])
+            roughness = roughness * jnp.where(tex_mr != NO_TEXTURE,
+                                              texel_mr[:, 1], 1.0)
         alpha = B.roughness_to_alpha(roughness)
 
         local_l = emissive
@@ -416,7 +450,8 @@ def camera_rays_for_rows(camera, row_start, rows, width, height, tan_half_fov,
     return o, d, state
 
 
-@partial(jax.jit, static_argnames=("rows", "width", "height", "cfg", "has_alpha"))
+@partial(jax.jit, static_argnames=("rows", "width", "height", "cfg", "has_alpha",
+                                   "tex_flags"))
 def render_rows(
     scene: DeviceScene,
     bvh: LBVH,
@@ -429,6 +464,7 @@ def render_rows(
     height: int,
     cfg: RenderConfig,
     has_alpha: bool,
+    tex_flags: Tuple[bool, bool, bool, bool] = (True, True, True, True),
 ):
     """Render one progressive sample for a band of `rows` image rows.
 
@@ -437,7 +473,8 @@ def render_rows(
     resolutions. Returns (rows, width, 4) radiance."""
     o, d, state = camera_rays_for_rows(camera, row_start, rows, width, height,
                                        cfg.tan_half_fov, sample_index, cfg.seed)
-    radiance = trace_paths(scene, bvh, o, d, state, cfg=cfg, has_alpha=has_alpha)
+    radiance = trace_paths(scene, bvh, o, d, state, cfg=cfg, has_alpha=has_alpha,
+                           tex_flags=tex_flags)
     n = rows * width
     img = jnp.concatenate([radiance, jnp.ones((n, 1), jnp.float32)], axis=-1)
     return img.reshape(rows, width, 4)
@@ -454,6 +491,7 @@ def render_sample(
     cfg: RenderConfig,
     has_alpha: bool,
     chunk_rows: int = 0,
+    tex_flags: Tuple[bool, bool, bool, bool] = (True, True, True, True),
 ):
     """Render one progressive sample (1 spp): returns (H, W, 4) radiance.
 
@@ -463,19 +501,21 @@ def render_sample(
     if chunk_rows <= 0 or chunk_rows >= height:
         return render_rows(scene, bvh, camera, sample_index, 0, rows=height,
                            width=width, height=height, cfg=cfg,
-                           has_alpha=has_alpha)
+                           has_alpha=has_alpha, tex_flags=tex_flags)
     bands = []
     row = 0
     while row < height:
         rows = min(chunk_rows, height - row)
         bands.append(render_rows(scene, bvh, camera, sample_index, row,
                                  rows=rows, width=width, height=height,
-                                 cfg=cfg, has_alpha=has_alpha))
+                                 cfg=cfg, has_alpha=has_alpha,
+                                 tex_flags=tex_flags))
         row += rows
     return jnp.concatenate(bands, axis=0)
 
 
-@partial(jax.jit, static_argnames=("rows", "width", "height", "cfg", "has_alpha"))
+@partial(jax.jit, static_argnames=("rows", "width", "height", "cfg", "has_alpha",
+                                   "tex_flags"))
 def render_rows_stats(
     scene: DeviceScene,
     bvh: LBVH,
@@ -488,12 +528,14 @@ def render_rows_stats(
     height: int,
     cfg: RenderConfig,
     has_alpha: bool,
+    tex_flags: Tuple[bool, bool, bool, bool] = (True, True, True, True),
 ):
     """render_rows + the traced-ray count (for Mrays/s benchmarking)."""
     o, d, state = camera_rays_for_rows(camera, row_start, rows, width, height,
                                        cfg.tan_half_fov, sample_index, cfg.seed)
     radiance, rays = trace_paths(scene, bvh, o, d, state, cfg=cfg,
-                                 has_alpha=has_alpha, return_stats=True)
+                                 has_alpha=has_alpha, return_stats=True,
+                                 tex_flags=tex_flags)
     n = rows * width
     img = jnp.concatenate([radiance, jnp.ones((n, 1), jnp.float32)], axis=-1)
     return img.reshape(rows, width, 4), rays
@@ -510,19 +552,22 @@ def render_sample_stats(
     cfg: RenderConfig,
     has_alpha: bool,
     chunk_rows: int = 0,
+    tex_flags: Tuple[bool, bool, bool, bool] = (True, True, True, True),
 ):
     """render_sample + the traced-ray count, with optional row chunking."""
     if chunk_rows <= 0 or chunk_rows >= height:
         return render_rows_stats(scene, bvh, camera, sample_index, 0,
                                  rows=height, width=width, height=height,
-                                 cfg=cfg, has_alpha=has_alpha)
+                                 cfg=cfg, has_alpha=has_alpha,
+                                 tex_flags=tex_flags)
     bands, rays_total = [], 0.0
     row = 0
     while row < height:
         rows = min(chunk_rows, height - row)
         band, rays = render_rows_stats(scene, bvh, camera, sample_index, row,
                                        rows=rows, width=width, height=height,
-                                       cfg=cfg, has_alpha=has_alpha)
+                                       cfg=cfg, has_alpha=has_alpha,
+                                       tex_flags=tex_flags)
         band.block_until_ready()
         bands.append(band)
         rays_total += float(rays)

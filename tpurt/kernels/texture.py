@@ -100,3 +100,23 @@ def sample_texture(atlas, tex_table, tex_id, u, v):
     )
     rgb = jnp.where((srgb > 0)[:, None], srgb_to_linear(out[:, :3]), out[:, :3])
     return jnp.concatenate([rgb, out[:, 3:4]], axis=-1)
+
+
+def sample_texture_alpha_nearest(atlas, tex_table, tex_id, u, v):
+    """Alpha channel only, single nearest tap (for the any-hit alpha test:
+    1 gather instead of 4 — the hot path of the re-trace loop). Textures
+    declared in glTF are NEAREST anyway (the reference's magFilter quirk);
+    fallback-sampler textures lose bilinear alpha filtering here, an
+    accepted deviation on the visibility test only."""
+    nt = tex_table.shape[0]
+    row = tex_table[jnp.clip(tex_id, 0, nt - 1)]
+    ax, ay = row[:, 0], row[:, 1]
+    w, h = row[:, 2], row[:, 3]
+    wrap_s, wrap_t = row[:, 4], row[:, 5]
+    x0 = jnp.floor(u * w.astype(jnp.float32)).astype(jnp.int32)
+    y0 = jnp.floor(v * h.astype(jnp.float32)).astype(jnp.int32)
+    ah, aw = atlas.shape[0], atlas.shape[1]
+    xw = _wrap(x0, w, wrap_s) + ax
+    yw = _wrap(y0, h, wrap_t) + ay
+    idx = jnp.clip(yw * aw + xw, 0, ah * aw - 1)
+    return atlas.reshape(-1, 4)[idx, 3].astype(jnp.float32) * (1.0 / 255.0)
