@@ -76,6 +76,10 @@ class RenderConfig:
     # frame in one launch). Chunking bounds per-launch wall time and the
     # wavefront state memory at high resolutions.
     chunk_rows: int = 0
+    # Samples per pixel traced in one launch (ray batch = k * pixels). The
+    # per-bounce-wave fixed costs amortize over k, at k x the launch time
+    # and memory; progressive accumulation then advances k samples a step.
+    spp_per_launch: int = 1
 
     @property
     def tan_half_fov(self) -> float:

@@ -424,14 +424,24 @@ def trace_paths(
 
 
 def camera_rays_for_rows(camera, row_start, rows, width, height, tan_half_fov,
-                         sample_index, seed):
+                         sample_index, seed, spp: int = 1):
     """Jittered primary rays for a horizontal band of the image (the same
     math as camera.generate_rays, offset into the global image plane).
-    `row_start` may be traced; `rows` is static."""
+    `row_start` may be traced; `rows` and `spp` are static. With spp > 1
+    the batch holds `spp` replicas of the band, each at sample index
+    `sample_index * spp + j` (caller averages the replicas)."""
     n = rows * width
     local = jnp.arange(n, dtype=jnp.uint32)
     pix = local + jnp.asarray(row_start, jnp.uint32) * jnp.uint32(width)
-    state = rng.init_state(pix, sample_index, seed)
+    if spp > 1:
+        pix = jnp.tile(pix, spp)
+        sample_vec = jnp.repeat(
+            jnp.asarray(sample_index, jnp.uint32) * jnp.uint32(spp)
+            + jnp.arange(spp, dtype=jnp.uint32), n)
+        n = n * spp
+    else:
+        sample_vec = sample_index
+    state = rng.init_state(pix, sample_vec, seed)
     state, jx = rng.next_rand(state)
     state, jy = rng.next_rand(state)
     px = (pix % jnp.uint32(width)).astype(jnp.float32)
@@ -470,12 +480,18 @@ def render_rows(
 
     Frame chunking serves two TPU constraints: per-launch wall-time limits
     (remote execution) and memory for the wavefront state at high
-    resolutions. Returns (rows, width, 4) radiance."""
+    resolutions. With cfg.spp_per_launch = k > 1, `sample_index` counts
+    LAUNCHES and the result is the mean of k samples (indices
+    sample_index*k .. sample_index*k+k-1). Returns (rows, width, 4)."""
+    spp = cfg.spp_per_launch
     o, d, state = camera_rays_for_rows(camera, row_start, rows, width, height,
-                                       cfg.tan_half_fov, sample_index, cfg.seed)
+                                       cfg.tan_half_fov, sample_index, cfg.seed,
+                                       spp=spp)
     radiance = trace_paths(scene, bvh, o, d, state, cfg=cfg, has_alpha=has_alpha,
                            tex_flags=tex_flags)
     n = rows * width
+    if spp > 1:
+        radiance = radiance.reshape(spp, n, 3).mean(axis=0)
     img = jnp.concatenate([radiance, jnp.ones((n, 1), jnp.float32)], axis=-1)
     return img.reshape(rows, width, 4)
 
@@ -531,12 +547,16 @@ def render_rows_stats(
     tex_flags: Tuple[bool, bool, bool, bool] = (True, True, True, True),
 ):
     """render_rows + the traced-ray count (for Mrays/s benchmarking)."""
+    spp = cfg.spp_per_launch
     o, d, state = camera_rays_for_rows(camera, row_start, rows, width, height,
-                                       cfg.tan_half_fov, sample_index, cfg.seed)
+                                       cfg.tan_half_fov, sample_index, cfg.seed,
+                                       spp=spp)
     radiance, rays = trace_paths(scene, bvh, o, d, state, cfg=cfg,
                                  has_alpha=has_alpha, return_stats=True,
                                  tex_flags=tex_flags)
     n = rows * width
+    if spp > 1:
+        radiance = radiance.reshape(spp, n, 3).mean(axis=0)
     img = jnp.concatenate([radiance, jnp.ones((n, 1), jnp.float32)], axis=-1)
     return img.reshape(rows, width, 4), rays
 

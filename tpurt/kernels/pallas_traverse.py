@@ -52,7 +52,7 @@ class KernelBVH(NamedTuple):
 
     tribvh: TriBVH
     node_box: jnp.ndarray  # (M, 8) f32 [min3, max3, 0, 0]
-    links: jnp.ndarray     # (M, 2) i32 [hit_next, miss_next]
+    links: jnp.ndarray     # (8, M, 2) i32 [hit_next, miss_next] per octant
     tri_rows: jnp.ndarray  # (L, G*9) f32
 
 
@@ -74,16 +74,18 @@ def pack_scene_for_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray):
     node_box = jnp.concatenate(
         [bvh.node_min, bvh.node_max,
          jnp.zeros((bvh.node_min.shape[0], 2), jnp.float32)], axis=1)
-    # single DFS order for the packet cursor (+x+y+z octant order)
+    # all 8 octant-ordered rope tables: the kernel picks the packet's
+    # octant slice via scalar prefetch, so near-first descent holds for
+    # every ray direction (packets are octant-pure after ray sorting)
     first_pad = jnp.concatenate(
-        [bvh.first[0], jnp.zeros(bvh.num_leaves, jnp.int32)])
-    links = jnp.stack([first_pad, bvh.skip[0]], axis=1)
+        [bvh.first, jnp.zeros((8, bvh.num_leaves), jnp.int32)], axis=1)
+    links = jnp.stack([first_pad, bvh.skip], axis=2)  # (8, M, 2)
     tri_sorted = tri_pos[tribvh.tri_order]  # (L*G, 3, 3)
     tri_rows = tri_sorted.reshape(bvh.num_leaves, g * 9)
     return node_box, links, tri_rows
 
 
-def _traverse_kernel(nb_ref, lk_ref, tr_ref,
+def _traverse_kernel(oct_ref, nb_ref, lk_ref, tr_ref,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      tmin_ref, act_ref,
                      t_ref, prim_ref, u_ref, v_ref,
@@ -134,8 +136,8 @@ def _traverse_kernel(nb_ref, lk_ref, tr_ref,
     def body(carry):
         node, t_best, prim, uu, vv = carry
         box = nb_ref[node]
-        link_hit = lk_ref[node, 0]
-        link_miss = lk_ref[node, 1]
+        link_hit = lk_ref[0, node, 0]   # (1, M, 2) octant slice (prefetched)
+        link_miss = lk_ref[0, node, 1]
 
         t0x = (box[0] - ox) * inv_x
         t1x = (box[3] - ox) * inv_x
@@ -187,14 +189,24 @@ def _traverse_kernel(nb_ref, lk_ref, tr_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_internal", "n_leaves", "group",
                                              "t_max", "interpret"))
-def _traverse_packets(node_box, links, tri_rows, ox, oy, oz, dx, dy, dz,
-                      tmin, act, *, n_internal, n_leaves, group, t_max,
+def _traverse_packets(octants, node_box, links, tri_rows, ox, oy, oz, dx, dy,
+                      dz, tmin, act, *, n_internal, n_leaves, group, t_max,
                       interpret=False):
     n_packets = ox.shape[0] // _SUB
-    grid = (n_packets,)
-    ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p: (p, 0),
+    m = node_box.shape[0]
+    ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p, oct_ref: (p, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # the packet's octant (scalar-prefetched) selects the rope-table slice;
+    # consecutive sorted packets share octants so the DMA re-runs rarely
+    links_spec = pl.BlockSpec((1, m, 2), lambda p, oct_ref: (oct_ref[p], 0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_packets,),
+        in_specs=[full, links_spec, full] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+    )
     kernel = functools.partial(_traverse_kernel, n_internal=n_internal,
                                n_leaves=n_leaves, group=group, t_max=t_max)
     out_shape = [
@@ -212,13 +224,11 @@ def _traverse_packets(node_box, links, tri_rows, ox, oy, oz, dx, dy, dz,
             vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[full, full, full] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
+        grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
         **params,
-    )(node_box, links, tri_rows, ox, oy, oz, dx, dy, dz, tmin, act)
+    )(octants, node_box, links, tri_rows, ox, oy, oz, dx, dy, dz, tmin, act)
 
 
 def traverse_packets(kbvh: KernelBVH, o, d, t_min, t_max, active,
@@ -247,9 +257,19 @@ def traverse_packets(kbvh: KernelBVH, o, d, t_min, t_max, active,
     tm = lay(t_min, 0.0)
     ac = lay(active.astype(jnp.float32), 0.0)
 
+    # per-packet octant from the packet's first ray (packets are octant-pure
+    # when the caller sorts; any octant is CORRECT regardless, order only
+    # affects node-visit counts)
+    oct_all = (
+        (dx < 0).astype(jnp.int32) * 4
+        + (dy < 0).astype(jnp.int32) * 2
+        + (dz < 0).astype(jnp.int32)
+    )
+    octants = oct_all.reshape(-1, _SUB, _LANE)[:, 0, 0]
+
     t, sorted_prim, u, v = _traverse_packets(
-        kbvh.node_box, kbvh.links, kbvh.tri_rows, ox, oy, oz, dx, dy, dz,
-        tm, ac,
+        octants, kbvh.node_box, kbvh.links, kbvh.tri_rows, ox, oy, oz, dx,
+        dy, dz, tm, ac,
         n_internal=tribvh.bvh.num_internal, n_leaves=tribvh.bvh.num_leaves,
         group=tribvh.group_size, t_max=float(t_max), interpret=interpret)
 

@@ -89,7 +89,8 @@ class Renderer:
         self.reset()
 
     def step(self) -> jnp.ndarray:
-        """One frame = one progressive sample per pixel (nSamples = 1,
+        """One frame = one progressive launch (cfg.spp_per_launch samples
+        per pixel; the reference traces nSamples = 1 per frame,
         raytrace.rgen:33). Returns the current accumulation buffer."""
         cfg = self.config
         if self.sample_count >= cfg.max_samples:
@@ -99,12 +100,13 @@ class Renderer:
                 self._converged_reported = True
             return self.accum
         t0 = time.perf_counter()
-        self.sample_count += 1
+        spp = cfg.spp_per_launch
+        launch_index = self.sample_count // spp
         radiance = render_sample(
             self.device_scene,
             self.bvh,
             self.camera,
-            jnp.uint32(self.sample_count - 1),
+            jnp.uint32(launch_index),
             width=cfg.width,
             height=cfg.height,
             cfg=cfg,
@@ -112,7 +114,10 @@ class Renderer:
             chunk_rows=cfg.chunk_rows,
             tex_flags=self.tex_flags,
         )
-        self.accum = film.accumulate(self.accum, radiance, self.sample_count)
+        self.sample_count += spp
+        # each launch contributes `spp` samples; the running average runs
+        # over launches (mathematically identical to the per-sample mean)
+        self.accum = film.accumulate(self.accum, radiance, launch_index + 1)
         self.accum.block_until_ready()
         self.sample_time += time.perf_counter() - t0
         return self.accum
