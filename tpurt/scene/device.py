@@ -179,12 +179,15 @@ def build_device_scene(
     pos_chunks, nrm_chunks, tan_chunks, uv_chunks = [], [], [], []
     mat_chunks, alpha_chunks = [], []
 
+    from tpurt import native
+
     for geom in scene.geometries:
         idx = scene.indices[geom.index_offset : geom.index_offset + geom.index_count]
         idx = idx.reshape(-1, 3).astype(np.int64)
-        v = scene.positions[geom.vertex_offset + idx]  # (t, 3, 3) object space
-        vh = np.concatenate([v, np.ones_like(v[..., :1])], axis=-1)
-        vw = np.einsum("ij,tkj->tki", geom.transform, vh)[..., :3].astype(np.float32)
+        # world-space triangle pre-gather: C++ host core when available
+        # (native/tpurt_native.cpp), NumPy otherwise
+        base_idx = (geom.vertex_offset + idx).astype(np.uint32)
+        vw = native.gather_triangles(scene.positions, base_idx, geom.transform)
         pos_chunks.append(vw)
 
         t = idx.shape[0]
