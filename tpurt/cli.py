@@ -81,6 +81,16 @@ def build_parser():
     i = sub.add_parser("info", help="print scene statistics")
     i.add_argument("scenes", nargs="+")
 
+    v = sub.add_parser("view", help="interactive progressive viewer (browser)")
+    v.add_argument("scenes", nargs="+")
+    v.add_argument("--res", default="480x360")
+    v.add_argument("--spp", type=int, default=1024)
+    v.add_argument("--camera", type=_parse_camera, default=None)
+    v.add_argument("--light", type=_parse_light, action="append", default=None)
+    v.add_argument("--sponza-lights", action="store_true")
+    v.add_argument("--port", type=int, default=8000)
+    v.add_argument("--host", default="127.0.0.1")
+
     b = sub.add_parser("bench", help="run the benchmark harness (bench.py)")
     return p
 
@@ -190,12 +200,35 @@ def cmd_info(args):
     return 0
 
 
+def cmd_view(args):
+    from tpurt import viewer
+    from tpurt.camera import Camera
+    from tpurt.config import DEFAULT_SPONZA_LIGHTS, RenderConfig
+    from tpurt.renderer import Renderer
+
+    width, height = _parse_res(args.res)
+    cfg = RenderConfig(width=width, height=height, max_samples=args.spp)
+    lights = list(args.light or [])
+    if args.sponza_lights:
+        lights.extend(DEFAULT_SPONZA_LIGHTS)
+    camera = None
+    if args.camera is not None:
+        pos, phi, theta = args.camera
+        camera = Camera.from_angles(pos, phi, theta)
+    renderer = Renderer.from_gltf(args.scenes, config=cfg, lights=lights,
+                                  camera=camera)
+    viewer.serve(renderer, host=args.host, port=args.port)
+    return 0
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.command == "render":
         return cmd_render(args)
     if args.command == "info":
         return cmd_info(args)
+    if args.command == "view":
+        return cmd_view(args)
     if args.command == "bench":
         import bench
 
