@@ -31,7 +31,10 @@ def main():
     from tpurt.scene.procedural import write_sponza_like_scene
 
     if on_tpu:
-        width, height, samples, columns, foliage = 1920, 1080, 2, 6, 48
+        # one timed sample: the 1080p wavefront takes ~30-60s/sample at the
+        # current kernel and the remote tunnel kills launches beyond ~60s,
+        # so the harness stays well inside the driver's budget
+        width, height, samples, columns, foliage = 1920, 1080, 1, 6, 48
         # the remote-TPU tunnel enforces a ~60s per-launch wall limit;
         # 45-row bands (~86k rays) keep each launch safely under it
         chunk_rows = 135
