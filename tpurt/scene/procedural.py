@@ -217,7 +217,7 @@ class GLTFBuilder:
         )
         return len(self.cameras) - 1
 
-    def write(self, path: str):
+    def _doc(self, buffer_entry):
         doc = {
             "asset": {"version": "2.0", "generator": "tpurt-procedural"},
             "scene": 0,
@@ -226,11 +226,7 @@ class GLTFBuilder:
             "meshes": self.meshes,
             "accessors": self.accessors,
             "bufferViews": self.buffer_views,
-            "buffers": [
-                {"byteLength": len(self.blob),
-                 "uri": "data:application/octet-stream;base64,"
-                        + base64.b64encode(bytes(self.blob)).decode()}
-            ],
+            "buffers": [buffer_entry],
         }
         if self.materials:
             doc["materials"] = self.materials
@@ -242,8 +238,34 @@ class GLTFBuilder:
             doc["samplers"] = self.samplers
         if self.cameras:
             doc["cameras"] = self.cameras
+        return doc
+
+    def write(self, path: str):
+        doc = self._doc({
+            "byteLength": len(self.blob),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(bytes(self.blob)).decode(),
+        })
         with open(path, "w") as f:
             json.dump(doc, f)
+        return path
+
+    def write_glb(self, path: str):
+        """Write the binary GLB container (JSON chunk + BIN chunk)."""
+        bin_chunk = bytes(self.blob)
+        while len(bin_chunk) % 4:
+            bin_chunk += b"\x00"
+        doc = self._doc({"byteLength": len(bin_chunk)})  # no uri: GLB BIN chunk
+        json_chunk = json.dumps(doc).encode()
+        while len(json_chunk) % 4:
+            json_chunk += b" "
+        total = 12 + 8 + len(json_chunk) + 8 + len(bin_chunk)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<III", 0x46546C67, 2, total))  # 'glTF', v2
+            f.write(struct.pack("<II", len(json_chunk), 0x4E4F534A))  # JSON
+            f.write(json_chunk)
+            f.write(struct.pack("<II", len(bin_chunk), 0x004E4942))  # BIN
+            f.write(bin_chunk)
         return path
 
 
