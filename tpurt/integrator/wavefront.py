@@ -76,30 +76,33 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
     if not has_alpha:
         return hit
 
-    def alpha_rejected(h: Hit) -> jnp.ndarray:
+    def alpha_rejected(h: Hit, mask) -> jnp.ndarray:
         is_tri = h.kind == KIND_TRIANGLE
         prim = jnp.clip(h.prim, 0, scene.tri_pos.shape[0] - 1)
-        tested = scene.tri_alpha[prim] & is_tri
+        # ONE fused row gather: [tested, cutoff, tex, uv0, uv1, uv2]
+        row = scene.tri_alpha_row[prim]
+        tested = (row[:, 0] > 0.0) & is_tri & mask
 
         def evaluate(_):
-            mat = scene.tri_mat[prim]
-            uv3 = scene.tri_uv[prim]
-            w = jnp.stack([1.0 - h.u - h.v, h.u, h.v], axis=-1)
-            uv = jnp.sum(w[..., None] * uv3, axis=1)
-            tex = scene.materials.tex_albedo[mat]
+            w0 = 1.0 - h.u - h.v
+            uv_u = w0 * row[:, 3] + h.u * row[:, 5] + h.v * row[:, 7]
+            uv_v = w0 * row[:, 4] + h.u * row[:, 6] + h.v * row[:, 8]
+            tex = row[:, 2].astype(jnp.int32)
             a = sample_texture_alpha_nearest(scene.atlas, scene.tex_table, tex,
-                                             uv[:, 0], uv[:, 1])
+                                             uv_u, uv_v)
             a = jnp.where(tex == NO_TEXTURE, 1.0, a)
-            return tested & (a < scene.materials.alpha_cutoff[mat])
+            return tested & (a < row[:, 1])
 
-        # most waves hit no alpha-tested geometry at all: skip the gather
-        # heavy uv/texture evaluation entirely in that case
+        # most waves hit no alpha-tested geometry at all: skip the texture
+        # tap entirely in that case
         return jax.lax.cond(jnp.any(tested), evaluate,
                             lambda _: jnp.zeros_like(tested), None)
 
     # carry the rejection mask so each iteration evaluates the (gather
-    # heavy) texture test once, not once in cond and once in body
-    rej0 = alpha_rejected(hit)
+    # heavy) texture test once, not once in cond and once in body; later
+    # iterations only re-test the re-traced rays, so the any(tested) gate
+    # usually turns the tail iterations into no-ops
+    rej0 = alpha_rejected(hit, active)
 
     def cond(state):
         i, h, t_min, rej = state
@@ -108,10 +111,12 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
     def body(state):
         i, h, t_min, rej = state
         t_min = jnp.where(rej, h.t * (1.0 + 1e-6) + 1e-5, t_min)
+        # re-traces cover the few alpha-rejected rays: sorting the whole
+        # batch again costs more than the walk saves
         nh = closest_hit(
             bvh, scene.tri_pos, scene.lights, o, d, t_min, cfg.t_max,
             include_spheres=include_spheres, active=active & rej,
-            sort_rays=sort_rays,
+            sort_rays=False,
         )
         h = Hit(
             t=jnp.where(rej, nh.t, h.t),
@@ -120,7 +125,7 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
             u=jnp.where(rej, nh.u, h.u),
             v=jnp.where(rej, nh.v, h.v),
         )
-        rej = alpha_rejected(h) & rej  # only re-traced rays can be rejected
+        rej = alpha_rejected(h, rej)  # only re-traced rays can be rejected
         return i + 1, h, t_min, rej
 
     _, hit, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), hit, t_min0, rej0))

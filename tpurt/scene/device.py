@@ -59,6 +59,9 @@ class DeviceScene(NamedTuple):
     tri_uv: jnp.ndarray       # (T, 3, 2)
     tri_mat: jnp.ndarray      # (T,) i32 material index
     tri_alpha: jnp.ndarray    # (T,) bool, geometry is alpha tested
+    # fused any-hit row per triangle (ONE gather in the re-trace hot loop):
+    # [tested, cutoff, tex_id, uv0u, uv0v, uv1u, uv1v, uv2u, uv2v] f32
+    tri_alpha_row: jnp.ndarray  # (T, 9) f32
     materials: Materials
     atlas: jnp.ndarray        # (AH, AW, 4) uint8
     tex_table: jnp.ndarray    # (NT, 8) i32: x, y, w, h, wrap_s, wrap_t, filter, srgb
@@ -254,6 +257,21 @@ def build_device_scene(
             tri_alpha = np.zeros(padded, bool)
 
     atlas, tex_table = _pack_atlas(scene)
+    materials = _materials_soa(scene)
+
+    # fused alpha-test rows: flag, material cutoff, albedo tex id, 3x uv
+    mats_np = tri_mat.astype(np.int64)
+    cutoff_np = np.asarray(materials.alpha_cutoff)[mats_np]
+    tex_np = np.asarray(materials.tex_albedo)[mats_np].astype(np.float32)
+    tri_alpha_row = np.concatenate(
+        [
+            tri_alpha.astype(np.float32)[:, None],
+            cutoff_np.astype(np.float32)[:, None],
+            tex_np[:, None],
+            tri_uv.reshape(tri_uv.shape[0], 6).astype(np.float32),
+        ],
+        axis=1,
+    )
 
     return DeviceScene(
         tri_pos=jnp.asarray(tri_pos),
@@ -262,7 +280,8 @@ def build_device_scene(
         tri_uv=jnp.asarray(tri_uv),
         tri_mat=jnp.asarray(tri_mat),
         tri_alpha=jnp.asarray(tri_alpha),
-        materials=_materials_soa(scene),
+        tri_alpha_row=jnp.asarray(tri_alpha_row),
+        materials=materials,
         atlas=jnp.asarray(atlas),
         tex_table=jnp.asarray(tex_table),
         lights=jnp.asarray(lights_array(list(lights))),
