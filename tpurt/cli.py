@@ -73,6 +73,8 @@ def build_parser():
     r.add_argument("--progress-every", type=int, default=64)
     r.add_argument("--orbit", default=None,
                    help="camera path cx,cy,cz:radius:height:frames — renders a frame sequence")
+    r.add_argument("--fly", default=None,
+                   help="fly-through x,y,z;x,y,z;...:lx,ly,lz:frames_per_leg — renders a frame sequence")
     r.add_argument("--shard", default=None,
                    help="TILExSPP device mesh (e.g. 2x4) for multi-chip rendering")
     r.add_argument("--save-accum", default=None,
@@ -138,10 +140,19 @@ def cmd_render(args):
         sharded = ShardedRenderer(renderer, make_mesh(n_tile=t, n_spp=s))
         print(f"  sharding over mesh tile={t} x spp={s}")
 
-    if args.orbit:
-        center_s, radius_s, height_s, frames_s = args.orbit.split(":")
-        cams = orbit_path([float(x) for x in center_s.split(",")],
-                          float(radius_s), float(height_s), int(frames_s))
+    if args.orbit or args.fly:
+        if args.orbit:
+            center_s, radius_s, height_s, frames_s = args.orbit.split(":")
+            cams = orbit_path([float(x) for x in center_s.split(",")],
+                              float(radius_s), float(height_s), int(frames_s))
+        else:
+            from tpurt.camera import fly_path
+
+            pts_s, look_s, frames_s = args.fly.split(":")
+            waypoints = [[float(x) for x in p.split(",")]
+                         for p in pts_s.split(";")]
+            cams = fly_path(waypoints, [float(x) for x in look_s.split(",")],
+                            int(frames_s))
         os.makedirs(args.out, exist_ok=True)
         for fi, cam in enumerate(cams):
             renderer.set_camera(cam)

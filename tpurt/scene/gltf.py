@@ -170,10 +170,18 @@ class _GLTFFile:
         if stride == ncomp * itemsize:
             arr = np.frombuffer(data, dtype, count=count * ncomp, offset=start)
             return arr.reshape(count, ncomp)
-        out = np.empty((count, ncomp), dtype)
-        for i in range(count):
-            out[i] = np.frombuffer(data, dtype, count=ncomp, offset=start + i * stride)
-        return out
+        if dtype == np.float32:
+            from tpurt import native
+
+            if native.available():
+                return native.decode_f32(data, count, ncomp, stride, offset=start)
+        # strided view (glTF guarantees offsets/strides aligned to the
+        # component size) — no Python loop
+        total = (count - 1) * (stride // itemsize) + ncomp
+        flat = np.frombuffer(data, dtype, count=total, offset=start)
+        view = np.lib.stride_tricks.as_strided(
+            flat, shape=(count, ncomp), strides=(stride, itemsize))
+        return np.ascontiguousarray(view)
 
     def image_bytes(self, image_index: int) -> bytes:
         img = self.json["images"][image_index]
