@@ -33,19 +33,20 @@ def main():
     if on_tpu:
         # one timed sample: the 1080p wavefront takes ~30-60s/sample at the
         # current kernel and the remote tunnel kills launches beyond ~60s,
-        # so the harness stays well inside the driver's budget
-        width, height, samples, columns, foliage = 1920, 1080, 1, 6, 48
-        # the remote-TPU tunnel enforces a ~60s per-launch wall limit;
-        # 45-row bands (~86k rays) keep each launch safely under it
+        # so the harness stays well inside the driver's budget. Scene at the
+        # real Sponza's ~260k-triangle scale (BASELINE.json); 135-row bands
+        # keep each launch inside the tunnel's wall limit.
+        width, height, samples = 1920, 1080, 1
         chunk_rows = 135
+        scene_kw = dict(columns=12, foliage=96, stacks=8, segments=28, rings=20)
     else:
-        width, height, samples, columns, foliage = 320, 240, 2, 2, 8
+        width, height, samples = 320, 240, 2
         chunk_rows = 0
+        scene_kw = dict(columns=2, foliage=8)
 
     cfg = RenderConfig(width=width, height=height, max_samples=1024,
                        chunk_rows=chunk_rows)
-    path = write_sponza_like_scene("/tmp/bench_sponza.gltf", columns=columns,
-                                   foliage=foliage)
+    path = write_sponza_like_scene("/tmp/bench_sponza.gltf", **scene_kw)
     cam = Camera.from_angles([0.0, -4.0, 0.0], 0.7, -0.1)
     lights = [
         SphereLight((-8.0, -5.0, -2.0), 0.1, (0.8, 0.6, 0.6), 500.0),

@@ -95,7 +95,8 @@ def main():
         SphereLight((0.0, -7.5, 0.0), 0.5, (0.9, 0.9, 0.7), 1000.0),
     ]
     r = Renderer.from_gltf(
-        write_sponza_like_scene("/tmp/bm_sponza.gltf", columns=6, foliage=48),
+        write_sponza_like_scene("/tmp/bm_sponza.gltf", columns=12, foliage=96,
+                                stacks=8, segments=28, rings=20),
         config=cfg, camera=cam, lights=lights)
     results["results"].append(measure("sponza_like", r, cfg, 2, 1024, r.tex_flags))
     print(results["results"][-1])

@@ -219,8 +219,8 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
         # spatial key: morton of the origin within the scene bounds (root
         # node AABB) keeps packets origin-coherent within each octant
         kb = bvh
-        root_lo = kb.node_box[0, :3]
-        root_hi = kb.node_box[0, 3:6]
+        root_lo = kb.node_rows[0, 0, :3]
+        root_hi = kb.node_rows[0, 0, 3:6]
         extent = jnp.maximum(root_hi - root_lo, 1e-20)
         m = morton3((o - root_lo) / extent).astype(jnp.int32)
         key = (octant << jnp.int32(27)) | (m >> jnp.int32(3))

@@ -51,19 +51,23 @@ class KernelBVH(NamedTuple):
     dispatches."""
 
     tribvh: TriBVH
-    node_box: jnp.ndarray  # (M, 8) f32 [min3, max3, 0, 0]
-    links: jnp.ndarray     # (8, M, 2) i32 [hit_next, miss_next] per octant
-    tri_rows: jnp.ndarray  # (L, G*9) f32
+    # per-octant combined node rows [min3, max3, hit_next, miss_next]
+    # (links as exact small integers in f32; node ids < 2^24)
+    node_rows: jnp.ndarray  # (8, M, 8) f32
+    tri_rows: jnp.ndarray   # (L, G*9) f32
 
 
 def make_kernel_bvh(tribvh: TriBVH, tri_pos: jnp.ndarray) -> "KernelBVH":
-    node_box, links, tri_rows = pack_scene_for_kernel(tribvh, tri_pos)
-    return KernelBVH(tribvh=tribvh, node_box=node_box, links=links,
-                     tri_rows=tri_rows)
+    node_rows, tri_rows = pack_scene_for_kernel(tribvh, tri_pos)
+    return KernelBVH(tribvh=tribvh, node_rows=node_rows, tri_rows=tri_rows)
 
 
 def pack_scene_for_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray):
     """Build the VMEM-resident tables the kernel consumes.
+
+    One combined row per node per octant: box + rope links together, so a
+    traversal step is a single scalar-indexed row read. Only the packet's
+    octant slice (selected via scalar prefetch) is VMEM-resident.
 
     Requires the TriBVH built with identity leaf order (leaf l covers
     sorted-triangle block l, see build_triangle_bvh) and group_size*9 <= 128.
@@ -71,21 +75,23 @@ def pack_scene_for_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray):
     bvh = tribvh.bvh
     g = tribvh.group_size
     assert g * 9 <= _LANE, f"group_size {g} does not fit a 128-lane leaf row"
-    node_box = jnp.concatenate(
-        [bvh.node_min, bvh.node_max,
-         jnp.zeros((bvh.node_min.shape[0], 2), jnp.float32)], axis=1)
-    # all 8 octant-ordered rope tables: the kernel picks the packet's
-    # octant slice via scalar prefetch, so near-first descent holds for
-    # every ray direction (packets are octant-pure after ray sorting)
+    box = jnp.concatenate([bvh.node_min, bvh.node_max], axis=1)  # (M, 6)
     first_pad = jnp.concatenate(
         [bvh.first, jnp.zeros((8, bvh.num_leaves), jnp.int32)], axis=1)
-    links = jnp.stack([first_pad, bvh.skip], axis=2)  # (8, M, 2)
+    node_rows = jnp.concatenate(
+        [
+            jnp.broadcast_to(box[None], (8,) + box.shape),
+            first_pad[..., None].astype(jnp.float32),
+            bvh.skip[..., None].astype(jnp.float32),
+        ],
+        axis=2,
+    )  # (8, M, 8)
     tri_sorted = tri_pos[tribvh.tri_order]  # (L*G, 3, 3)
     tri_rows = tri_sorted.reshape(bvh.num_leaves, g * 9)
-    return node_box, links, tri_rows
+    return node_rows, tri_rows
 
 
-def _traverse_kernel(oct_ref, nb_ref, lk_ref, tr_ref,
+def _traverse_kernel(oct_ref, nb_ref, tr_ref,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      tmin_ref, act_ref,
                      t_ref, prim_ref, u_ref, v_ref,
@@ -135,9 +141,9 @@ def _traverse_kernel(oct_ref, nb_ref, lk_ref, tr_ref,
 
     def body(carry):
         node, t_best, prim, uu, vv = carry
-        box = nb_ref[node]
-        link_hit = lk_ref[0, node, 0]   # (1, M, 2) octant slice (prefetched)
-        link_miss = lk_ref[0, node, 1]
+        box = nb_ref[0, node]           # (1, M, 8) octant slice (prefetched)
+        link_hit = box[6].astype(jnp.int32)
+        link_miss = box[7].astype(jnp.int32)
 
         t0x = (box[0] - ox) * inv_x
         t1x = (box[3] - ox) * inv_x
@@ -189,22 +195,22 @@ def _traverse_kernel(oct_ref, nb_ref, lk_ref, tr_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_internal", "n_leaves", "group",
                                              "t_max", "interpret"))
-def _traverse_packets(octants, node_box, links, tri_rows, ox, oy, oz, dx, dy,
+def _traverse_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy,
                       dz, tmin, act, *, n_internal, n_leaves, group, t_max,
                       interpret=False):
     n_packets = ox.shape[0] // _SUB
-    m = node_box.shape[0]
+    m = node_rows.shape[1]
     ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p, oct_ref: (p, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    # the packet's octant (scalar-prefetched) selects the rope-table slice;
+    # the packet's octant (scalar-prefetched) selects the node-table slice;
     # consecutive sorted packets share octants so the DMA re-runs rarely
-    links_spec = pl.BlockSpec((1, m, 2), lambda p, oct_ref: (oct_ref[p], 0, 0),
+    nodes_spec = pl.BlockSpec((1, m, 8), lambda p, oct_ref: (oct_ref[p], 0, 0),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_packets,),
-        in_specs=[full, links_spec, full] + [ray_spec] * 8,
+        in_specs=[nodes_spec, full] + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
     )
     kernel = functools.partial(_traverse_kernel, n_internal=n_internal,
@@ -228,7 +234,7 @@ def _traverse_packets(octants, node_box, links, tri_rows, ox, oy, oz, dx, dy,
         out_shape=out_shape,
         interpret=interpret,
         **params,
-    )(octants, node_box, links, tri_rows, ox, oy, oz, dx, dy, dz, tmin, act)
+    )(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz, tmin, act)
 
 
 def traverse_packets(kbvh: KernelBVH, o, d, t_min, t_max, active,
@@ -268,8 +274,8 @@ def traverse_packets(kbvh: KernelBVH, o, d, t_min, t_max, active,
     octants = oct_all.reshape(-1, _SUB, _LANE)[:, 0, 0]
 
     t, sorted_prim, u, v = _traverse_packets(
-        octants, kbvh.node_box, kbvh.links, kbvh.tri_rows, ox, oy, oz, dx,
-        dy, dz, tm, ac,
+        octants, kbvh.node_rows, kbvh.tri_rows, ox, oy, oz, dx, dy, dz,
+        tm, ac,
         n_internal=tribvh.bvh.num_internal, n_leaves=tribvh.bvh.num_leaves,
         group=tribvh.group_size, t_max=float(t_max), interpret=interpret)
 
@@ -283,15 +289,28 @@ def traverse_packets(kbvh: KernelBVH, o, d, t_min, t_max, active,
     return t, prim, u, v
 
 
+def _kernel_vmem_bytes(n_leaves: int) -> int:
+    """Physical VMEM the kernel needs: the octant node slice is
+    DOUBLE-BUFFERED by the pipeline (2 x (1, M, 8) lane-padded) plus the
+    leaf triangle table."""
+    m = 2 * n_leaves - 1
+    return (2 * m + n_leaves) * _LANE * 4
+
+
 def kernel_supported(tribvh: TriBVH, tri_pos, vmem_budget_bytes=52 * 2 ** 20
                      ) -> bool:
-    """Whether the packed scene fits the kernel's VMEM budget (physical
-    bytes after Mosaic's lane padding to 128)."""
+    """Whether the packed scene fits the kernel's VMEM budget."""
     if tribvh.group_size * 9 > _LANE:
         return False
-    n_leaves = tribvh.bvh.num_leaves
-    m = 2 * n_leaves - 1
-    node_bytes = m * _LANE * 4   # (M, 8) lane-padded
-    link_bytes = m * _LANE * 4   # (M, 2) lane-padded
-    tri_bytes = n_leaves * _LANE * 4
-    return (node_bytes + link_bytes + tri_bytes) < vmem_budget_bytes
+    return _kernel_vmem_bytes(tribvh.bvh.num_leaves) < vmem_budget_bytes
+
+
+def pick_group_size(num_tris: int, vmem_budget_bytes=52 * 2 ** 20) -> int:
+    """Smallest leaf group size whose packed tables fit the VMEM budget
+    (small leaves trace faster: fat leaf AABBs cause false-positive leaf
+    entries)."""
+    for g in (4, 6, 8, 10, 14):
+        n_leaves = max(-(-num_tris // g), 2)
+        if _kernel_vmem_bytes(n_leaves) < vmem_budget_bytes:
+            return g
+    return 14

@@ -50,10 +50,13 @@ class Renderer:
             for t in (mats.tex_albedo, mats.tex_mr, mats.tex_normal,
                       mats.tex_emissive)
         )
-        # group size 4: fat leaves (G=14) cut VMEM but their bloated AABBs
-        # multiply false-positive leaf entries in the packet kernel — G=4
-        # measured ~10x faster end-to-end
-        self.bvh = build_triangle_bvh(self.device_scene.tri_pos, group_size=4)
+        from tpurt.kernels.pallas_traverse import pick_group_size
+
+        group_size = pick_group_size(int(self.device_scene.tri_pos.shape[0]))
+        # smallest leaf group whose kernel tables fit VMEM (fat leaves trace
+        # slower: bloated AABBs multiply false-positive leaf entries)
+        self.bvh = build_triangle_bvh(self.device_scene.tri_pos,
+                                      group_size=group_size)
         # on TPU, upgrade to the Pallas packet-traversal structure when the
         # packed scene fits the VMEM budget (kernels/pallas_traverse.py)
         if jax.default_backend() not in ("cpu",):

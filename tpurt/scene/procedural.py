@@ -352,13 +352,15 @@ def write_lantern_like_scene(path: str) -> str:
     return b.write(path)
 
 
-def write_sponza_like_scene(path: str, columns=6, foliage=24, seed=3) -> str:
+def write_sponza_like_scene(path: str, columns=6, foliage=24, seed=3,
+                            stacks=4, segments=20, rings=14) -> str:
     """Sponza-scale analogue: an interior atrium with many geometries and
-    alpha-tested foliage quads (BASELINE.json config 4). ~0.1-0.3M triangles
-    depending on `columns`."""
+    alpha-tested foliage quads (BASELINE.json config 4). Triangle count
+    scales with columns * stacks * segments * rings (columns=12, stacks=8,
+    segments=28, rings=20 gives ~260k — the real Sponza's scale)."""
     rng = np.random.RandomState(seed)
     b = GLTFBuilder()
-    sp, sn, suv, sidx = _uv_sphere(20, 14, 0.5)
+    sp, sn, suv, sidx = _uv_sphere(segments, rings, 0.5)
     bp, bn, buv, bidx = _box_mesh()
     qp, qn, quv, qidx = _quad_mesh()
 
@@ -399,8 +401,8 @@ def write_sponza_like_scene(path: str, columns=6, foliage=24, seed=3) -> str:
     for i in range(columns):
         x = -12 + 24 * i / max(columns - 1, 1)
         for z in (-6.0, 6.0):
-            for y in range(4):
-                b.add_node(mesh=mesh_col, translation=[x, 0.5 + y, z],
+            for y in range(stacks):
+                b.add_node(mesh=mesh_col, translation=[x, 0.5 + y * 7.0 / stacks, z],
                            scale=[1.0, 1.0, 1.0])
     # foliage quads at random poses
     for _ in range(foliage):
