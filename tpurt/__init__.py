@@ -15,9 +15,25 @@ A from-scratch rebuild of the capabilities of pixelcluster/VkRaytracer
   image tiles across chips with `shard_map` + `psum` (`tpurt.parallel`).
 """
 
-from tpurt.config import RenderConfig, SphereLight
+from tpurt.config import DEFAULT_SPONZA_LIGHTS, RenderConfig, SphereLight
 from tpurt.camera import Camera
 
 __version__ = "0.1.0"
 
-__all__ = ["RenderConfig", "SphereLight", "Camera", "__version__"]
+__all__ = [
+    "RenderConfig",
+    "SphereLight",
+    "DEFAULT_SPONZA_LIGHTS",
+    "Camera",
+    "Renderer",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # lazy: Renderer pulls in the full jax stack
+    if name == "Renderer":
+        from tpurt.renderer import Renderer
+
+        return Renderer
+    raise AttributeError(name)
