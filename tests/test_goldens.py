@@ -37,3 +37,25 @@ def test_helmet_golden(tmp_path):
     path = write_helmet_like_scene(str(tmp_path / "helmet.gltf"))
     r = Renderer.from_gltf(path, config=CFG)
     _compare("helmet_64x48_8spp.npz", np.asarray(r.render(8)))
+
+
+def test_lantern_golden(tmp_path):
+    from tpurt.scene.procedural import write_lantern_like_scene
+
+    cfg = RenderConfig(width=64, height=48, max_samples=4)
+    cam = Camera.from_angles([4.0, -2.0, 6.0], float(np.arctan2(-4.0, -6.0)), 0.1)
+    r = Renderer.from_gltf(write_lantern_like_scene(str(tmp_path / "l.gltf")),
+                           config=cfg, camera=cam)
+    _compare("lantern_64x48_4spp.npz", np.asarray(r.render(4)))
+
+
+def test_sponza_golden(tmp_path):
+    from tpurt.scene.procedural import write_sponza_like_scene
+
+    cfg = RenderConfig(width=64, height=48, max_samples=4)
+    cam = Camera.from_angles([0.0, -4.0, 0.0], 0.7, -0.1)
+    lights = [SphereLight((-8.0, -5.0, -2.0), 0.1, (0.8, 0.6, 0.6), 500.0)]
+    r = Renderer.from_gltf(
+        write_sponza_like_scene(str(tmp_path / "s.gltf"), columns=2, foliage=6),
+        config=cfg, camera=cam, lights=lights)
+    _compare("sponza_64x48_4spp.npz", np.asarray(r.render(4)))
