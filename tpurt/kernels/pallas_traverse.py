@@ -54,15 +54,20 @@ class KernelBVH(NamedTuple):
     # per-octant combined node rows [min3, max3, hit_next, miss_next]
     # (links as exact small integers in f32; node ids < 2^24)
     node_rows: jnp.ndarray  # (8, M, 8) f32
-    tri_rows: jnp.ndarray   # (L, G*9) f32
+    # leaf rows: G triangles (G*9 floats) + G alpha bitmasks when they fit
+    # (G*10 <= 128 lanes) — see DeviceScene.tri_alpha_mask
+    tri_rows: jnp.ndarray   # (L, G*9 [+ G]) f32
 
 
-def make_kernel_bvh(tribvh: TriBVH, tri_pos: jnp.ndarray) -> "KernelBVH":
-    node_rows, tri_rows = pack_scene_for_kernel(tribvh, tri_pos)
+def make_kernel_bvh(tribvh: TriBVH, tri_pos: jnp.ndarray,
+                    tri_alpha_mask=None) -> "KernelBVH":
+    node_rows, tri_rows = pack_scene_for_kernel(tribvh, tri_pos,
+                                                tri_alpha_mask)
     return KernelBVH(tribvh=tribvh, node_rows=node_rows, tri_rows=tri_rows)
 
 
-def pack_scene_for_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray):
+def pack_scene_for_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
+                          tri_alpha_mask=None):
     """Build the VMEM-resident tables the kernel consumes.
 
     One combined row per node per octant: box + rope links together, so a
@@ -88,6 +93,10 @@ def pack_scene_for_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray):
     )  # (8, M, 8)
     tri_sorted = tri_pos[tribvh.tri_order]  # (L*G, 3, 3)
     tri_rows = tri_sorted.reshape(bvh.num_leaves, g * 9)
+    if tri_alpha_mask is not None and g * 10 <= _LANE:
+        masks = tri_alpha_mask[tribvh.tri_order].astype(jnp.float32)
+        tri_rows = jnp.concatenate(
+            [tri_rows, masks.reshape(bvh.num_leaves, g)], axis=1)
     return node_rows, tri_rows
 
 
@@ -96,7 +105,7 @@ def _traverse_kernel(oct_ref, nb_ref, tr_ref,
                      tmin_ref, act_ref,
                      t_ref, prim_ref, u_ref, v_ref,
                      *, n_internal: int, n_leaves: int, group: int,
-                     t_max: float):
+                     t_max: float, use_masks: bool = False):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     t_min = tmin_ref[:]
@@ -133,6 +142,14 @@ def _traverse_kernel(oct_ref, nb_ref, tr_ref,
         t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
         hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                & (t > t_min) & (t < t_best) & active)
+        if use_masks:
+            # in-kernel any-hit: reject hits whose 4x4 barycentric cell is
+            # fully transparent (bit set in the triangle's alpha mask)
+            m_int = jnp.int32(row[group * 9 + k])
+            cu = jnp.clip((u * 4.0).astype(jnp.int32), 0, 3)
+            cv = jnp.clip((v * 4.0).astype(jnp.int32), 0, 3)
+            bit = jnp.right_shift(m_int, cu * 4 + cv) & 1
+            hit = hit & (bit == 0)
         t_best = jnp.where(hit, t, t_best)
         prim = jnp.where(hit, leaf * group + k, prim)
         uu = jnp.where(hit, u, uu)
@@ -213,8 +230,10 @@ def _traverse_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy,
         in_specs=[nodes_spec, full] + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
     )
+    use_masks = tri_rows.shape[1] == group * 10
     kernel = functools.partial(_traverse_kernel, n_internal=n_internal,
-                               n_leaves=n_leaves, group=group, t_max=t_max)
+                               n_leaves=n_leaves, group=group, t_max=t_max,
+                               use_masks=use_masks)
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.int32),
@@ -308,8 +327,9 @@ def kernel_supported(tribvh: TriBVH, tri_pos, vmem_budget_bytes=52 * 2 ** 20
 def pick_group_size(num_tris: int, vmem_budget_bytes=52 * 2 ** 20) -> int:
     """Smallest leaf group size whose packed tables fit the VMEM budget
     (small leaves trace faster: fat leaf AABBs cause false-positive leaf
-    entries)."""
-    for g in (4, 6, 8, 10, 14):
+    entries). Sizes up to 12 keep room for the in-leaf alpha masks
+    (G*10 <= 128 lanes)."""
+    for g in (4, 6, 8, 10, 12, 14):
         n_leaves = max(-(-num_tris // g), 2)
         if _kernel_vmem_bytes(n_leaves) < vmem_budget_bytes:
             return g

@@ -64,7 +64,10 @@ class Renderer:
                 kernel_supported, make_kernel_bvh)
 
             if kernel_supported(self.bvh, self.device_scene.tri_pos):
-                self.bvh = make_kernel_bvh(self.bvh, self.device_scene.tri_pos)
+                self.bvh = make_kernel_bvh(
+                    self.bvh, self.device_scene.tri_pos,
+                    tri_alpha_mask=(self.device_scene.tri_alpha_mask
+                                    if self.has_alpha else None))
         self.reset()
 
     @classmethod

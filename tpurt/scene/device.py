@@ -33,7 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpurt.config import SphereLight
-from tpurt.scene.types import NO_TEXTURE, SceneData
+from tpurt.scene.types import (
+    NO_TEXTURE,
+    SceneData,
+    WRAP_MIRRORED_REPEAT,
+    WRAP_REPEAT,
+)
 
 
 class Materials(NamedTuple):
@@ -62,6 +67,12 @@ class DeviceScene(NamedTuple):
     # fused any-hit row per triangle (ONE gather in the re-trace hot loop):
     # [tested, cutoff, tex_id, uv0u, uv0v, uv1u, uv1v, uv2u, uv2v] f32
     tri_alpha_row: jnp.ndarray  # (T, 9) f32
+    # 16-bit barycentric transparency mask per triangle (4x4 grid over the
+    # (u, v) hit coordinates; bit set = the whole cell's alpha is below the
+    # cutoff, so the traversal kernel can reject the hit without a texture
+    # tap). 0 for non-alpha-tested triangles. Exact-conservative: mixed
+    # cells stay 0 and fall through to the XLA re-trace test.
+    tri_alpha_mask: jnp.ndarray  # (T,) i32 (values < 2^16)
     materials: Materials
     atlas: jnp.ndarray        # (AH, AW, 4) uint8
     tex_table: jnp.ndarray    # (NT, 8) i32: x, y, w, h, wrap_s, wrap_t, filter, srgb
@@ -164,6 +175,63 @@ def _materials_soa(scene: SceneData) -> Materials:
         tex_normal=arr(lambda t: t.normal_texture, (), np.int32, NO_TEXTURE),
         tex_emissive=arr(lambda t: t.emissive_texture, (), np.int32, NO_TEXTURE),
     )
+
+
+def _alpha_cell_masks(tri_alpha, tri_uv, tri_mat, materials: Materials,
+                      atlas: np.ndarray, tex_table: np.ndarray,
+                      grid: int = 4) -> np.ndarray:
+    """Per-triangle barycentric transparency bitmasks (see
+    DeviceScene.tri_alpha_mask). NEAREST-sampled like the any-hit test, on
+    a supersampled grid dense enough to visit every texel a cell covers."""
+    t = tri_alpha.shape[0]
+    masks = np.zeros(t, np.int32)
+    idxs = np.nonzero(tri_alpha)[0]
+    if idxs.size == 0:
+        return masks
+    atlas_a = atlas[..., 3].astype(np.float32) / 255.0
+    ah, aw = atlas_a.shape
+    tex_albedo = np.asarray(materials.tex_albedo)
+    cutoffs = np.asarray(materials.alpha_cutoff)
+
+    for ti in idxs:
+        tex = int(tex_albedo[tri_mat[ti]])
+        if tex == NO_TEXTURE or tex >= tex_table.shape[0]:
+            continue  # alpha defaults to 1.0: nothing to skip
+        x0, y0, w, h, wrap_s, wrap_t = tex_table[tex][:6]
+        cutoff = float(cutoffs[tri_mat[ti]])
+        uv = tri_uv[ti]  # (3, 2)
+        # supersampling density: cover the triangle's texel footprint
+        span = max(abs(uv[1] - uv[0]).max(), abs(uv[2] - uv[0]).max(), 1e-6)
+        s = int(np.clip(np.ceil(2.0 * span * max(w, h) / grid), 6, 48))
+        pts = (np.arange(s) + 0.5) / s / grid  # offsets within one cell
+        bu, bv = np.meshgrid(pts, pts, indexing="ij")
+        mask = 0
+        for ci in range(grid):
+            for cj in range(grid):
+                u = ci / grid + bu
+                v = cj / grid + bv
+                valid = (u + v) <= 1.0
+                if not valid.any():
+                    continue  # unreachable cell: leave bit 0 (safe)
+                w0 = 1.0 - u - v
+                tu = w0 * uv[0, 0] + u * uv[1, 0] + v * uv[2, 0]
+                tv = w0 * uv[0, 1] + u * uv[1, 1] + v * uv[2, 1]
+                xi = np.floor(tu * w).astype(np.int64)
+                yi = np.floor(tv * h).astype(np.int64)
+                for arr, size, mode in ((xi, w, wrap_s), (yi, h, wrap_t)):
+                    if mode == WRAP_REPEAT:
+                        np.remainder(arr, size, out=arr)
+                    elif mode == WRAP_MIRRORED_REPEAT:
+                        m = np.remainder(arr, 2 * size)
+                        arr[:] = np.where(m < size, m, 2 * size - 1 - m)
+                    else:
+                        np.clip(arr, 0, size - 1, out=arr)
+                a = atlas_a[np.clip(yi + y0, 0, ah - 1),
+                            np.clip(xi + x0, 0, aw - 1)]
+                if (a[valid] < cutoff).all():
+                    mask |= 1 << (ci * grid + cj)
+        masks[ti] = mask
+    return masks
 
 
 def build_device_scene(
@@ -273,6 +341,9 @@ def build_device_scene(
         axis=1,
     )
 
+    tri_alpha_mask = _alpha_cell_masks(tri_alpha, tri_uv, tri_mat, materials,
+                                       atlas, tex_table)
+
     return DeviceScene(
         tri_pos=jnp.asarray(tri_pos),
         tri_normal=jnp.asarray(tri_normal),
@@ -281,6 +352,7 @@ def build_device_scene(
         tri_mat=jnp.asarray(tri_mat),
         tri_alpha=jnp.asarray(tri_alpha),
         tri_alpha_row=jnp.asarray(tri_alpha_row),
+        tri_alpha_mask=jnp.asarray(tri_alpha_mask),
         materials=materials,
         atlas=jnp.asarray(atlas),
         tex_table=jnp.asarray(tex_table),
