@@ -1,0 +1,111 @@
+"""On-chip validation: the compiled Pallas packet kernel must agree with
+the XLA traversal oracle on real TPU hardware (the CPU suite can only run
+the kernel in interpret mode). Writes benchmarks/tpu_validation.json.
+
+Interpretation: hit_agreement and t_agreement are the correctness signals.
+prim ids can legitimately differ on exact-t ties: duplicate padded
+triangles (counted as agreement) and z-fighting between coplanar distinct
+surfaces (the procedural interiors have walls whose faces are exactly
+coplanar with the floor; any traversal order — including the reference's
+RT hardware — picks arbitrarily there).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/tpu_validation.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def validate_scene(name, tri_pos, lights, rays, group_size, mask=None):
+    # note: masks intentionally omitted by callers — in-kernel alpha masks
+    # change hit semantics vs the pure-geometry XLA oracle
+    import jax
+    import jax.numpy as jnp
+
+    from tpurt.bvh import build_triangle_bvh, intersect_scene
+    from tpurt.kernels.pallas_traverse import make_kernel_bvh, traverse_packets
+
+    tb = build_triangle_bvh(tri_pos, group_size=group_size)
+    kb = make_kernel_bvh(tb, tri_pos, tri_alpha_mask=mask)
+    o, d = rays
+    n = o.shape[0]
+    t_min = jnp.zeros(n)
+    t0 = time.perf_counter()
+    t, prim, u, v = traverse_packets(kb, o, d, t_min, 1e9, jnp.ones(n, bool))
+    jax.block_until_ready(t)
+    kernel_s = time.perf_counter() - t0
+
+    ref = intersect_scene(tb, tri_pos, lights, o, d, t_min, 1e9,
+                          include_spheres=False)
+    hit_k = np.asarray(prim) >= 0
+    hit_r = np.asarray(ref.kind) == 1
+    both = hit_k & hit_r
+    t_ok = bool(np.allclose(np.asarray(t)[both], np.asarray(ref.t)[both],
+                            rtol=1e-4))
+    # prim ids may differ on exact-t ties between DUPLICATE triangles (the
+    # device scene pads by repeating a triangle); geometrically identical
+    # prims shade identically, so count them as agreement
+    pk = np.asarray(prim)[both]
+    pr = np.asarray(ref.prim)[both]
+    tp = np.asarray(tri_pos)
+    same = (pk == pr) | np.all(
+        np.isclose(tp[pk], tp[pr]).reshape(pk.shape[0], -1), axis=1)
+    return {
+        "scene": name,
+        "rays": int(n),
+        "group_size": int(group_size),
+        "hit_agreement": float((hit_k == hit_r).mean()),
+        "t_agreement": t_ok,
+        "prim_agreement_up_to_duplicates": float(same.mean()),
+        "kernel_seconds": round(kernel_s, 4),
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpurt.scene import build_device_scene, load_gltf
+    from tpurt.scene.procedural import write_box_scene, write_sponza_like_scene
+
+    rng = np.random.RandomState(0)
+    results = {"device": str(jax.devices()[0]), "results": []}
+
+    def random_rays(n, spread):
+        o = (rng.rand(n, 3) - 0.5) * spread
+        d = rng.randn(n, 3)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+    lights = jnp.zeros((0, 8), jnp.float32)
+
+    dev = build_device_scene(load_gltf(write_box_scene("/tmp/val_box.gltf")))
+    results["results"].append(validate_scene(
+        "box", dev.tri_pos, lights, random_rays(4096, 4.0), 4))
+    print(results["results"][-1])
+
+    dev = build_device_scene(load_gltf(
+        write_sponza_like_scene("/tmp/val_sp.gltf", columns=6, foliage=48)))
+    results["results"].append(validate_scene(
+        "sponza_27k", dev.tri_pos, lights, random_rays(65536, 25.0), 4))
+    print(results["results"][-1])
+
+    dev = build_device_scene(load_gltf(write_sponza_like_scene(
+        "/tmp/val_sp260.gltf", columns=12, foliage=96, stacks=8, segments=28,
+        rings=20)))
+    results["results"].append(validate_scene(
+        "sponza_215k", dev.tri_pos, lights, random_rays(65536, 25.0), 12))
+    print(results["results"][-1])
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tpu_validation.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
