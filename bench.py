@@ -34,10 +34,10 @@ def main():
         # one timed sample: the 1080p wavefront takes ~30-60s/sample at the
         # current kernel and the remote tunnel kills launches beyond ~60s,
         # so the harness stays well inside the driver's budget. Scene at the
-        # real Sponza's ~260k-triangle scale (BASELINE.json); 135-row bands
+        # real Sponza's ~260k-triangle scale (BASELINE.json); 270-row bands
         # keep each launch inside the tunnel's wall limit.
         width, height, samples = 1920, 1080, 1
-        chunk_rows = 135
+        chunk_rows = 270
         scene_kw = dict(columns=12, foliage=96, stacks=8, segments=28, rings=20)
     else:
         width, height, samples = 320, 240, 2
