@@ -45,9 +45,6 @@ from tpurt.kernels.intersect import (
     safe_inv_dir,
 )
 
-STACK_DEPTH = 64  # radix-tree depth bound (60-bit keys) + slack
-
-
 @partial(jax.jit, static_argnames=("include_spheres",))
 def intersect_scene(
     bvh: LBVH,

@@ -45,7 +45,7 @@ Faithfully replicated reference semantics (each with citation):
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from tpurt import rng
 from tpurt.bvh.lbvh import LBVH
 from tpurt.bvh.traverse import closest_hit
-from tpurt.camera import Camera, generate_rays
+from tpurt.camera import Camera
 from tpurt.config import RenderConfig
 from tpurt.kernels import bsdf as B
 from tpurt.kernels.intersect import Hit, KIND_MISS, KIND_SPHERE, KIND_TRIANGLE

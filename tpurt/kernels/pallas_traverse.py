@@ -30,7 +30,7 @@ remains the portable fallback (CPU tests, oversized scenes).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ src/Raytracer.cpp:11-126 bindings):
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
