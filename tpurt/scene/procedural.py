@@ -345,10 +345,11 @@ def write_lantern_like_scene(path: str) -> str:
                            scale=[0.3, 0.3, 0.3], root=False)
     pole = b.add_node(mesh=mesh_body, translation=[0, 0.5, 0], scale=[0.1, 2.0, 0.1],
                       children=[glow_node])
-    gp, gn, guv, gidx = _quad_mesh()
+    # ground: a thin unrotated box (a rotated quad would be garbled by the
+    # reference's shifted-quaternion quirk that this loader replicates)
     ground_mat = b.add_material(base_color=(0.5, 0.5, 0.5, 1.0))
-    ground = b.add_mesh(gp, gn, guv, gidx.astype(np.uint8), material=ground_mat)
-    b.add_node(mesh=ground, rotation=[-0.7071068, 0, 0, 0.7071068], scale=[10, 10, 1])
+    ground = b.add_mesh(p, n, uv, idx.astype(np.uint8), material=ground_mat)
+    b.add_node(mesh=ground, translation=[0, 3.3, 0], scale=[20, 0.1, 20])
     return b.write(path)
 
 
