@@ -25,6 +25,24 @@ def _hole_scene(tmp_path):
     return b.write(str(tmp_path / "hole.gltf"))
 
 
+def test_masks_conservative_on_fine_detail(tmp_path):
+    """ADVICE r1 repro: a full-UV triangle over a 512px texture that is
+    transparent except for opaque 1px lines every 64px. Every 4x4 cell's
+    footprint contains opaque texels, so NO cell may be marked transparent
+    (the old point-sampled builder marked 10)."""
+    b = GLTFBuilder()
+    qp, qn, quv, qidx = _quad_mesh()
+    img = np.zeros((512, 512, 4), np.uint8)
+    img[::64, :] = [255, 255, 255, 255]  # opaque horizontal lines
+    tex = b.add_texture(img)
+    mat = b.add_material(base_color_texture=tex, alpha_mode="MASK",
+                         alpha_cutoff=0.5)
+    b.add_node(mesh=b.add_mesh(qp, qn, quv, qidx, material=mat))
+    dev = build_device_scene(load_gltf(b.write(str(tmp_path / "lines.gltf"))))
+    masks = np.asarray(dev.tri_alpha_mask)
+    assert (masks[np.asarray(dev.tri_alpha)] == 0).all(), masks
+
+
 def test_masks_built(tmp_path):
     dev = build_device_scene(load_gltf(_hole_scene(tmp_path)))
     masks = np.asarray(dev.tri_alpha_mask)

@@ -74,6 +74,10 @@ class Checkpoint:
     camera_position: np.ndarray
     camera_direction: np.ndarray
     camera_right: np.ndarray
+    # samples per launch used while accumulating; the running average is
+    # per-launch, so resuming with a different value would mis-weight it
+    # (0 = unknown, from a pre-r2 checkpoint)
+    spp_per_launch: int = 0
 
     def camera(self) -> Camera:
         return Camera(
@@ -83,12 +87,14 @@ class Checkpoint:
         )
 
 
-def save_checkpoint(path: str, accum, sample_count: int, seed: int, camera: Camera) -> None:
+def save_checkpoint(path: str, accum, sample_count: int, seed: int, camera: Camera,
+                    spp_per_launch: int = 0) -> None:
     np.savez(
         path,
         accum=np.asarray(accum),
         sample_count=np.int64(sample_count),
         seed=np.int64(seed),
+        spp_per_launch=np.int64(spp_per_launch),
         camera_position=np.asarray(camera.position),
         camera_direction=np.asarray(camera.direction),
         camera_right=np.asarray(camera.right),
@@ -101,6 +107,7 @@ def load_checkpoint(path: str) -> Checkpoint:
         accum=data["accum"],
         sample_count=int(data["sample_count"]),
         seed=int(data["seed"]),
+        spp_per_launch=int(data["spp_per_launch"]) if "spp_per_launch" in data else 0,
         camera_position=data["camera_position"],
         camera_direction=data["camera_direction"],
         camera_right=data["camera_right"],

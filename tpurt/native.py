@@ -27,10 +27,12 @@ _SO = os.path.join(os.path.dirname(_SRC), "libtpurt_native.so")
 
 
 def _build() -> Optional[str]:
+    # No -march=native: the artifact may be loaded on a different CPU than
+    # the one that built it, and baseline -O3 is plenty for these memcpy
+    # loops (ADVICE r1).
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _SO],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
             check=True, capture_output=True, timeout=120,
         )
         return _SO
@@ -38,14 +40,22 @@ def _build() -> Optional[str]:
         return None
 
 
+def _stale() -> bool:
+    """True if the .so is missing or older than its source."""
+    try:
+        return os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+    except OSError:
+        return True
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library, or None."""
+    """Load (rebuilding when the source is newer) the native library, or None."""
     global _LIB, _TRIED
     with _LOCK:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        path = _SO if os.path.exists(_SO) else _build()
+        path = _build() if _stale() else _SO
         if path is None or not os.path.exists(path):
             return None
         try:
@@ -80,7 +90,22 @@ def _ptr(arr, ctype):
 
 def decode_f32(src: bytes, count: int, ncomp: int, stride: int, offset: int = 0
                ) -> np.ndarray:
-    """Strided accessor decode (native or NumPy fallback)."""
+    """Strided accessor decode (native or NumPy fallback).
+
+    count/stride/offset come straight from glTF JSON, and the native path
+    is a raw memcpy loop — validate bounds here so a malformed file raises
+    instead of reading out of bounds (ADVICE r1).
+    """
+    if count < 0 or stride < 0 or offset < 0:
+        raise ValueError(f"negative accessor params: count={count} "
+                         f"stride={stride} offset={offset}")
+    if count > 0:
+        end = offset + (count - 1) * stride + ncomp * 4
+        if end > len(src):
+            raise ValueError(
+                f"accessor out of bounds: needs {end} bytes, buffer has "
+                f"{len(src)} (count={count} ncomp={ncomp} stride={stride} "
+                f"offset={offset})")
     lib = get_lib()
     buf = np.frombuffer(src, np.uint8)[offset:]
     out = np.empty((count, ncomp), np.float32)
@@ -96,8 +121,17 @@ def decode_f32(src: bytes, count: int, ncomp: int, stride: int, offset: int = 0
 
 def gather_triangles(positions: np.ndarray, indices: np.ndarray,
                      transform: np.ndarray) -> np.ndarray:
-    """World-space per-triangle vertex gather (native or NumPy einsum)."""
+    """World-space per-triangle vertex gather (native or NumPy einsum).
+
+    indices are file-provided; validate against the vertex count before
+    the native raw-gather path (ADVICE r1).
+    """
     tri_count = indices.size // 3
+    if indices.size and (int(indices.max()) >= positions.shape[0]
+                         or int(indices.min()) < 0):
+        raise ValueError(
+            f"triangle index out of bounds: max {int(indices.max())}, "
+            f"min {int(indices.min())}, {positions.shape[0]} vertices")
     lib = get_lib()
     if lib is not None:
         pos = np.ascontiguousarray(positions, np.float32)

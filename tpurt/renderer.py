@@ -150,11 +150,23 @@ class Renderer:
 
     def save_checkpoint(self, path: str) -> None:
         film.save_checkpoint(path, self.accum, self.sample_count, self.config.seed,
-                             self.camera)
+                             self.camera, spp_per_launch=self.config.spp_per_launch)
 
     def load_checkpoint(self, path: str) -> None:
         ck = film.load_checkpoint(path)
         assert ck.accum.shape == (self.config.height, self.config.width, 4)
+        # resuming with a different seed would decorrelate or duplicate the
+        # sample stream vs. the accumulated image; a different spp_per_launch
+        # mis-weights the per-launch running average (ADVICE r1)
+        if ck.seed != self.config.seed:
+            raise ValueError(
+                f"checkpoint was rendered with seed {ck.seed}, config has "
+                f"seed {self.config.seed}; exact resume requires the same seed")
+        if ck.spp_per_launch and ck.spp_per_launch != self.config.spp_per_launch:
+            raise ValueError(
+                f"checkpoint used spp_per_launch={ck.spp_per_launch}, config "
+                f"has {self.config.spp_per_launch}; the per-launch running "
+                "average requires the same value to resume exactly")
         self.accum = jnp.asarray(ck.accum)
         self.sample_count = ck.sample_count
         self.camera = ck.camera()

@@ -177,12 +177,32 @@ def _materials_soa(scene: SceneData) -> Materials:
     )
 
 
+def _wrap_indices(arr: np.ndarray, size: int, mode: int) -> np.ndarray:
+    if mode == WRAP_REPEAT:
+        return np.remainder(arr, size)
+    if mode == WRAP_MIRRORED_REPEAT:
+        m = np.remainder(arr, 2 * size)
+        return np.where(m < size, m, 2 * size - 1 - m)
+    return np.clip(arr, 0, size - 1)
+
+
 def _alpha_cell_masks(tri_alpha, tri_uv, tri_mat, materials: Materials,
                       atlas: np.ndarray, tex_table: np.ndarray,
-                      grid: int = 4) -> np.ndarray:
+                      grid: int = 4, texel_cap: int = 1 << 16) -> np.ndarray:
     """Per-triangle barycentric transparency bitmasks (see
-    DeviceScene.tri_alpha_mask). NEAREST-sampled like the any-hit test, on
-    a supersampled grid dense enough to visit every texel a cell covers."""
+    DeviceScene.tri_alpha_mask).
+
+    Conservative by construction (ADVICE r1): a cell's bit is set only if
+    EVERY texel in the texel-space bounding box of the cell's closed UV
+    parallelogram is below the cutoff. The closed bbox (f64 corner
+    evaluation, extrema of an affine map are at corners) is a superset of
+    the texels any real-arithmetic hit in the half-open cell can
+    NEAREST-sample, so a set bit cannot cull an opaque texel. (The only
+    theoretical gap is a float32 hit evaluated within ~1e-6 texels of a
+    texel boundary rounding across it — sub-noise for a Monte-Carlo
+    renderer.) Cells whose bbox exceeds `texel_cap` texels stay 0 (fall
+    through to the exact re-trace test) instead of being sampled sparsely.
+    """
     t = tri_alpha.shape[0]
     masks = np.zeros(t, np.int32)
     idxs = np.nonzero(tri_alpha)[0]
@@ -192,43 +212,44 @@ def _alpha_cell_masks(tri_alpha, tri_uv, tri_mat, materials: Materials,
     ah, aw = atlas_a.shape
     tex_albedo = np.asarray(materials.tex_albedo)
     cutoffs = np.asarray(materials.alpha_cutoff)
+    step = 1.0 / grid
 
     for ti in idxs:
         tex = int(tex_albedo[tri_mat[ti]])
         if tex == NO_TEXTURE or tex >= tex_table.shape[0]:
             continue  # alpha defaults to 1.0: nothing to skip
-        x0, y0, w, h, wrap_s, wrap_t = tex_table[tex][:6]
+        x0, y0, w, h, wrap_s, wrap_t = (int(v) for v in tex_table[tex][:6])
         cutoff = float(cutoffs[tri_mat[ti]])
-        uv = tri_uv[ti]  # (3, 2)
-        # supersampling density: cover the triangle's texel footprint
-        span = max(abs(uv[1] - uv[0]).max(), abs(uv[2] - uv[0]).max(), 1e-6)
-        s = int(np.clip(np.ceil(2.0 * span * max(w, h) / grid), 6, 48))
-        pts = (np.arange(s) + 0.5) / s / grid  # offsets within one cell
-        bu, bv = np.meshgrid(pts, pts, indexing="ij")
+        uv = tri_uv[ti].astype(np.float64)  # (3, 2)
         mask = 0
         for ci in range(grid):
             for cj in range(grid):
-                u = ci / grid + bu
-                v = cj / grid + bv
-                valid = (u + v) <= 1.0
-                if not valid.any():
-                    continue  # unreachable cell: leave bit 0 (safe)
-                w0 = 1.0 - u - v
-                tu = w0 * uv[0, 0] + u * uv[1, 0] + v * uv[2, 0]
-                tv = w0 * uv[0, 1] + u * uv[1, 1] + v * uv[2, 1]
-                xi = np.floor(tu * w).astype(np.int64)
-                yi = np.floor(tv * h).astype(np.int64)
-                for arr, size, mode in ((xi, w, wrap_s), (yi, h, wrap_t)):
-                    if mode == WRAP_REPEAT:
-                        np.remainder(arr, size, out=arr)
-                    elif mode == WRAP_MIRRORED_REPEAT:
-                        m = np.remainder(arr, 2 * size)
-                        arr[:] = np.where(m < size, m, 2 * size - 1 - m)
-                    else:
-                        np.clip(arr, 0, size - 1, out=arr)
-                a = atlas_a[np.clip(yi + y0, 0, ah - 1),
-                            np.clip(xi + x0, 0, aw - 1)]
-                if (a[valid] < cutoff).all():
+                # corners of the full cell square in barycentric (u, v);
+                # the uv map is affine, so extrema are at corners
+                cu = np.array([ci * step, ci * step + step])[:, None]
+                cv = np.array([cj * step, cj * step + step])[None, :]
+                w0 = 1.0 - cu - cv
+                tu = (w0 * uv[0, 0] + cu * uv[1, 0] + cv * uv[2, 0]) * w
+                tv = (w0 * uv[0, 1] + cu * uv[1, 1] + cv * uv[2, 1]) * h
+                xlo = int(np.floor(tu.min()))
+                xhi = int(np.floor(tu.max()))
+                ylo = int(np.floor(tv.min()))
+                yhi = int(np.floor(tv.max()))
+                # spans >= texture size reach every texel on that axis
+                # regardless of wrap mode
+                if xhi - xlo + 1 >= w:
+                    xs = np.arange(w)
+                else:
+                    xs = _wrap_indices(np.arange(xlo, xhi + 1), w, wrap_s)
+                if yhi - ylo + 1 >= h:
+                    ys = np.arange(h)
+                else:
+                    ys = _wrap_indices(np.arange(ylo, yhi + 1), h, wrap_t)
+                if xs.size * ys.size > texel_cap:
+                    continue  # too large to verify exhaustively: stay 0
+                a = atlas_a[np.clip(ys + y0, 0, ah - 1)[:, None],
+                            np.clip(xs + x0, 0, aw - 1)[None, :]]
+                if (a < cutoff).all():
                     mask |= 1 << (ci * grid + cj)
         masks[ti] = mask
     return masks
