@@ -11,7 +11,6 @@ tagged with the actual config used.
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -44,35 +43,44 @@ def main():
         chunk_rows = 0
         scene_kw = dict(columns=2, foliage=8)
 
+    from tpurt.utils.profiling import KernelTimer
+
+    timer = KernelTimer()
+
     cfg = RenderConfig(width=width, height=height, max_samples=1024,
                        chunk_rows=chunk_rows)
-    path = write_sponza_like_scene("/tmp/bench_sponza.gltf", **scene_kw)
-    cam = Camera.from_angles([0.0, -4.0, 0.0], 0.7, -0.1)
-    lights = [
-        SphereLight((-8.0, -5.0, -2.0), 0.1, (0.8, 0.6, 0.6), 500.0),
-        SphereLight((8.0, -5.0, -2.5), 0.1, (0.4, 0.7, 0.6), 500.0),
-        SphereLight((0.0, -7.5, 0.0), 0.5, (0.9, 0.9, 0.7), 1000.0),
-    ]
-    r = Renderer.from_gltf(path, config=cfg, camera=cam, lights=lights)
+    with timer.phase("scene_load_bvh_build"):
+        path = write_sponza_like_scene("/tmp/bench_sponza.gltf", **scene_kw)
+        cam = Camera.from_angles([0.0, -4.0, 0.0], 0.7, -0.1)
+        lights = [
+            SphereLight((-8.0, -5.0, -2.0), 0.1, (0.8, 0.6, 0.6), 500.0),
+            SphereLight((8.0, -5.0, -2.5), 0.1, (0.4, 0.7, 0.6), 500.0),
+            SphereLight((0.0, -7.5, 0.0), 0.5, (0.9, 0.9, 0.7), 1000.0),
+        ]
+        r = Renderer.from_gltf(path, config=cfg, camera=cam, lights=lights)
+        jax.block_until_ready(r.bvh)
 
-    def one(idx):
-        img, rays = render_sample_stats(
-            r.device_scene, r.bvh, r.camera, jnp.uint32(idx),
-            width=cfg.width, height=cfg.height, cfg=cfg, has_alpha=r.has_alpha,
-            chunk_rows=cfg.chunk_rows,
-        )
-        img.block_until_ready()
+    def one(idx, phase):
+        with timer.phase(phase):
+            img, rays = render_sample_stats(
+                r.device_scene, r.bvh, r.camera, jnp.uint32(idx),
+                width=cfg.width, height=cfg.height, cfg=cfg,
+                has_alpha=r.has_alpha, chunk_rows=cfg.chunk_rows,
+            )
+            img.block_until_ready()
         return float(rays)
 
-    one(0)  # warmup/compile
+    one(0, "compile_warmup")
 
-    t0 = time.perf_counter()
     total_rays = 0.0
     for i in range(1, samples + 1):
-        total_rays += one(i)
-    dt = time.perf_counter() - t0
+        total_rays += one(i, "render")
 
-    mrays = total_rays / dt / 1e6
+    dt = timer.stats["render"].seconds
+    mrays = timer.mrays_per_sec("render", total_rays)
+    print(timer.report(), file=sys.stderr)
+    print(f"[bench] {total_rays / 1e6:.1f} Mrays in {dt:.2f}s over "
+          f"{samples} sample(s)", file=sys.stderr)
     print(json.dumps({
         "metric": f"sponza_like_{width}x{height}_mrays_per_sec"
                   + ("" if on_tpu else "_cpu"),

@@ -40,7 +40,10 @@ def test_masks_conservative_on_fine_detail(tmp_path):
     b.add_node(mesh=b.add_mesh(qp, qn, quv, qidx, material=mat))
     dev = build_device_scene(load_gltf(b.write(str(tmp_path / "lines.gltf"))))
     masks = np.asarray(dev.tri_alpha_mask)
-    assert (masks[np.asarray(dev.tri_alpha)] == 0).all(), masks
+    # low 16 bits = transparent-cell flags; bit 16 (alpha-testable
+    # marker for the occlusion kernel) is expected to be set
+    assert (masks[np.asarray(dev.tri_alpha)] & 0xFFFF == 0).all(), masks
+    assert (masks[np.asarray(dev.tri_alpha)] >> 16 == 1).all(), masks
 
 
 def test_masks_built(tmp_path):
@@ -49,7 +52,8 @@ def test_masks_built(tmp_path):
     tested = np.asarray(dev.tri_alpha)
     # alpha-tested triangles got nonzero masks (half the quad is fully
     # transparent so several cells must be marked)
-    assert (masks[tested] != 0).any()
+    assert (masks[tested] & 0xFFFF != 0).any()
+    assert (masks[tested] >> 16 == 1).all()  # testable marker (occlusion)
     assert (masks[~tested] == 0).all()
 
 

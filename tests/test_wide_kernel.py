@@ -1,0 +1,155 @@
+"""Wide (8-ary) packet-traversal kernel tests (interpret mode on CPU; the
+compiled path is validated against the same oracle on TPU hardware by
+benchmarks/tpu_validation.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt.bvh import build_triangle_bvh, intersect_brute_force
+from tpurt.kernels.pallas_wide import (
+    WideKernelBVH,
+    collapse_to_wide,
+    make_wide_kernel_bvh,
+    occlusion_packets,
+    pick_group_size_wide,
+    traverse_packets,
+    wide_supported,
+)
+
+
+def _random_tris(n, seed=0, spread=10.0):
+    r = np.random.RandomState(seed)
+    base = (r.rand(n, 1, 3) - 0.5) * spread
+    return jnp.asarray(base + (r.rand(n, 3, 3) - 0.5), jnp.float32)
+
+
+def _random_rays(n, seed=1, spread=12.0):
+    r = np.random.RandomState(seed)
+    o = (r.rand(n, 3) - 0.5) * spread
+    d = r.randn(n, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def test_collapse_covers_every_leaf():
+    """Every leaf must appear exactly once among the wide children."""
+    tris = _random_tris(333, seed=2)
+    tb = build_triangle_bvh(tris, group_size=4)
+    child_node, wide_of_binary = collapse_to_wide(tb)
+    n_int = tb.bvh.num_internal
+    leaves = child_node[(child_node >= n_int)]
+    leaf_ids = np.sort(leaves - n_int)
+    np.testing.assert_array_equal(leaf_ids, np.arange(tb.bvh.num_leaves))
+    # every internal wide child is itself a wide node
+    internal = child_node[(child_node >= 0) & (child_node < n_int)]
+    assert (wide_of_binary[internal] >= 0).all()
+    # the root is wide node 0
+    assert wide_of_binary[0] == 0
+
+
+def test_wide_kernel_matches_oracle_interpret():
+    tris = _random_tris(300, seed=3)
+    tb = build_triangle_bvh(tris, group_size=4)
+    assert wide_supported(tb)
+    kb = make_wide_kernel_bvh(tb, tris)
+    o, d = _random_rays(1024, seed=4)
+    t, prim, u, v = traverse_packets(kb, o, d, jnp.zeros(1024), 1e9,
+                                     jnp.ones(1024, bool), interpret=True)
+    lights = jnp.zeros((0, 8), jnp.float32)
+    ref = intersect_brute_force(tris, lights, o, d, jnp.zeros(1024), 1e9,
+                                include_spheres=False)
+    hit_k = np.asarray(prim) >= 0
+    hit_r = np.asarray(ref.kind) == 1
+    np.testing.assert_array_equal(hit_k, hit_r)
+    both = hit_k & hit_r
+    np.testing.assert_allclose(np.asarray(t)[both], np.asarray(ref.t)[both],
+                               rtol=1e-4)
+    assert (np.asarray(prim)[both] == np.asarray(ref.prim)[both]).mean() > 0.99
+
+
+def test_wide_kernel_respects_active_and_tmin():
+    tris = _random_tris(100, seed=5)
+    tb = build_triangle_bvh(tris, group_size=4)
+    kb = make_wide_kernel_bvh(tb, tris)
+    o, d = _random_rays(1024, seed=6)
+    active = jnp.asarray(np.arange(1024) % 2 == 0)
+    t, prim, u, v = traverse_packets(kb, o, d, jnp.zeros(1024), 1e9, active,
+                                     interpret=True)
+    assert (np.asarray(prim)[~np.asarray(active)] == -1).all()
+    hit0 = np.asarray(prim) >= 0
+    if hit0.any():
+        i = int(np.nonzero(hit0)[0][0])
+        t2, prim2, _, _ = traverse_packets(
+            kb, o, d, jnp.asarray(np.where(hit0, np.asarray(t) * 1.0001, 0.0),
+                                  jnp.float32),
+            1e9, jnp.ones(1024, bool), interpret=True)
+        assert (np.asarray(t2)[i] > np.asarray(t)[i]) or np.asarray(prim2)[i] == -1
+
+
+def test_wide_occlusion_matches_oracle_interpret():
+    tris = _random_tris(300, seed=11)
+    tb = build_triangle_bvh(tris, group_size=4)
+    kb = make_wide_kernel_bvh(tb, tris)
+    o, d = _random_rays(1024, seed=12)
+    lights = jnp.zeros((0, 8), jnp.float32)
+    ref = intersect_brute_force(tris, lights, o, d, jnp.zeros(1024), 1e9,
+                                include_spheres=False)
+    r = np.random.RandomState(13)
+    t_limit = jnp.asarray(0.3 + 3.0 * r.rand(1024), jnp.float32)
+    blocked, t, prim, u, v = occlusion_packets(
+        kb, o, d, jnp.zeros(1024), t_limit, jnp.ones(1024, bool),
+        scene_has_alpha=False, interpret=True)
+    expect = (np.asarray(ref.kind) == 1) & (np.asarray(ref.t) < np.asarray(t_limit))
+    np.testing.assert_array_equal(np.asarray(blocked), expect)
+
+
+def test_wide_occlusion_alpha_semantics():
+    """Alpha-testable triangles (mask bit 16) must surface as uncertain
+    closest hits, not definite blocks; transparent cells are skipped."""
+    tris = _random_tris(64, seed=14)
+    tb = build_triangle_bvh(tris, group_size=4)
+    masks = jnp.full(64, 1 << 16, jnp.int32)
+    kb = make_wide_kernel_bvh(tb, tris, tri_alpha_mask=masks)
+    o, d = _random_rays(1024, seed=15)
+    blocked, t, prim, u, v = occlusion_packets(
+        kb, o, d, jnp.zeros(1024), jnp.full(1024, 1e9, jnp.float32),
+        jnp.ones(1024, bool), scene_has_alpha=True, interpret=True)
+    assert not np.asarray(blocked).any()
+    lights = jnp.zeros((0, 8), jnp.float32)
+    ref = intersect_brute_force(tris, lights, o, d, jnp.zeros(1024), 1e9,
+                                include_spheres=False)
+    np.testing.assert_array_equal(np.asarray(prim) >= 0,
+                                  np.asarray(ref.kind) == 1)
+    masks_t = jnp.full(64, (1 << 16) | 0xFFFF, jnp.int32)
+    kb_t = make_wide_kernel_bvh(tb, tris, tri_alpha_mask=masks_t)
+    blocked2, _, prim2, _, _ = occlusion_packets(
+        kb_t, o, d, jnp.zeros(1024), jnp.full(1024, 1e9, jnp.float32),
+        jnp.ones(1024, bool), scene_has_alpha=True, interpret=True)
+    assert not np.asarray(blocked2).any()
+    assert (np.asarray(prim2) == -1).all()
+
+
+def test_wide_matches_binary_kernel():
+    """Wide and binary kernels are drop-in equals on the same TriBVH."""
+    from tpurt.kernels.pallas_traverse import make_kernel_bvh
+    from tpurt.kernels.pallas_traverse import traverse_packets as tp_bin
+
+    tris = _random_tris(500, seed=21)
+    tb = build_triangle_bvh(tris, group_size=6)
+    kb_w = make_wide_kernel_bvh(tb, tris)
+    kb_b = make_kernel_bvh(tb, tris)
+    o, d = _random_rays(2048, seed=22)
+    tw, pw, uw, vw = traverse_packets(kb_w, o, d, jnp.zeros(2048), 1e9,
+                                      jnp.ones(2048, bool), interpret=True)
+    tb_, pb, ub, vb = tp_bin(kb_b, o, d, jnp.zeros(2048), 1e9,
+                             jnp.ones(2048, bool), interpret=True)
+    np.testing.assert_array_equal(np.asarray(pw) >= 0, np.asarray(pb) >= 0)
+    both = (np.asarray(pw) >= 0)
+    np.testing.assert_allclose(np.asarray(tw)[both], np.asarray(tb_)[both],
+                               rtol=1e-5)
+    assert (np.asarray(pw)[both] == np.asarray(pb)[both]).mean() > 0.999
+
+
+def test_pick_group_size_wide_scales():
+    assert pick_group_size_wide(1000) == 4
+    assert pick_group_size_wide(300_000) == 4  # wide tables keep G=4 at scale

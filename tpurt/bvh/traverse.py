@@ -195,9 +195,13 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
     node, so incoherent packets walk near the whole tree. `sort_rays` groups
     rays by direction octant (origins are already tile-coherent), which
     collapses the per-packet visit union for secondary/NEE waves."""
+    from tpurt.kernels import pallas_wide
     from tpurt.kernels.pallas_traverse import KernelBVH, traverse_packets
+    from tpurt.kernels.pallas_wide import WideKernelBVH
 
-    if not isinstance(bvh, KernelBVH):
+    if isinstance(bvh, WideKernelBVH):
+        traverse_packets = pallas_wide.traverse_packets
+    elif not isinstance(bvh, KernelBVH):
         return intersect_scene(bvh, tri_pos, lights, o, d, t_min, t_max,
                                include_spheres=include_spheres, active=active)
 
@@ -206,25 +210,9 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
         active = jnp.ones(n, bool)
 
     if sort_rays and n > 2048:
-        from tpurt.bvh.lbvh import morton3
-
-        octant = (
-            (d[:, 0] < 0).astype(jnp.int32) * 4
-            + (d[:, 1] < 0).astype(jnp.int32) * 2
-            + (d[:, 2] < 0).astype(jnp.int32)
-        )
-        # spatial key: morton of the origin within the scene bounds (root
-        # node AABB) keeps packets origin-coherent within each octant
-        kb = bvh
-        root_lo = kb.node_rows[0, 0, :3]
-        root_hi = kb.node_rows[0, 0, 3:6]
-        extent = jnp.maximum(root_hi - root_lo, 1e-20)
-        m = morton3((o - root_lo) / extent).astype(jnp.int32)
-        key = (octant << jnp.int32(27)) | (m >> jnp.int32(3))
-        # inactive rays sort to the back so whole packets retire instantly
-        key = jnp.where(active, key, jnp.int32(2 ** 30))
-        perm = jnp.argsort(key, stable=True)
-        inv = jnp.argsort(perm)
+        # spatial key: (direction octant, origin morton within the root
+        # AABB) keeps packets octant-pure and origin-coherent
+        perm, inv = _octant_morton_perm(bvh, o, d, active)
         t, prim, u, v = traverse_packets(
             bvh, o[perm], d[perm], t_min[perm], t_max, active[perm],
             interpret=interpret)
@@ -241,6 +229,58 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
         prim = jnp.where(s_hit, s_id, prim)
         kind = jnp.where(s_hit, KIND_SPHERE, kind)
     return Hit(t=t, kind=kind, prim=prim, u=u, v=v)
+
+
+def _octant_morton_perm(kbvh, o, d, active):
+    """Sort key grouping rays into octant-pure, origin-coherent packets
+    (inactive rays sort to the back so whole packets retire instantly).
+    Returns (perm, inverse perm)."""
+    from tpurt.bvh.lbvh import morton3
+
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32) * 4
+        + (d[:, 1] < 0).astype(jnp.int32) * 2
+        + (d[:, 2] < 0).astype(jnp.int32)
+    )
+    root_lo = kbvh.tribvh.bvh.node_min[0]
+    root_hi = kbvh.tribvh.bvh.node_max[0]
+    extent = jnp.maximum(root_hi - root_lo, 1e-20)
+    m = morton3((o - root_lo) / extent).astype(jnp.int32)
+    key = (octant << jnp.int32(27)) | (m >> jnp.int32(3))
+    key = jnp.where(active, key, jnp.int32(2 ** 30))
+    perm = jnp.argsort(key, stable=True)
+    return perm, jnp.argsort(perm)
+
+
+def occlusion_hit(kbvh, o, d, t_min, t_limit, active, scene_has_alpha: bool,
+                  sort_rays=True, interpret=False):
+    """Occlusion query via the packet kernel (KernelBVH only; the XLA
+    fallback path emulates occlusion with a closest-hit trace in the
+    integrator). Returns (blocked (N,) bool, Hit of the closest accepted
+    hit with t < t_limit — kind TRIANGLE where one exists, for the exact
+    alpha recheck)."""
+    from tpurt.kernels import pallas_wide
+    from tpurt.kernels.pallas_traverse import occlusion_packets
+    from tpurt.kernels.pallas_wide import WideKernelBVH
+
+    if isinstance(kbvh, WideKernelBVH):
+        occlusion_packets = pallas_wide.occlusion_packets
+
+    n = o.shape[0]
+    if active is None:
+        active = jnp.ones(n, bool)
+    if sort_rays and n > 2048:
+        perm, inv = _octant_morton_perm(kbvh, o, d, active)
+        blocked, t, prim, u, v = occlusion_packets(
+            kbvh, o[perm], d[perm], t_min[perm], t_limit[perm], active[perm],
+            scene_has_alpha, interpret=interpret)
+        blocked, t, prim, u, v = blocked[inv], t[inv], prim[inv], u[inv], v[inv]
+    else:
+        blocked, t, prim, u, v = occlusion_packets(
+            kbvh, o, d, t_min, t_limit, active, scene_has_alpha,
+            interpret=interpret)
+    kind = jnp.where(prim >= 0, KIND_TRIANGLE, KIND_MISS).astype(jnp.int32)
+    return blocked, Hit(t=t, kind=kind, prim=prim, u=u, v=v)
 
 
 def intersect_brute_force(tri_pos, lights, o, d, t_min, t_max, include_spheres=True):

@@ -77,36 +77,20 @@ class Camera(NamedTuple):
         return self._replace(position=pos)
 
 
-def generate_rays(
-    camera: Camera,
-    width: int,
-    height: int,
-    tan_half_fov: float,
-    state: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Generate one jittered primary ray per pixel.
+def _frustum_rays(camera: Camera, pix, jx, jy, width: int, height: int,
+                  tan_half_fov) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """THE ray-generation math (single definition; every raygen path —
+    per-pixel, row-banded, sharded — goes through here so they stay
+    bit-identical).
 
-    Replicates raytrace.rgen:49-61: two RNG draws per pixel for a jitter in
-    [-0.5, 0.5]^2, point = ((pix + jitter) / size) - 0.5, then frustum-corner
-    interpolation (which reduces to direction + 2*t*aspect*px*right +
-    2*t*py*up).
-
-    Args:
-      state: (N,) uint32 per-pixel RNG states (N = width*height, row-major
-        like gl_LaunchIDEXT with y*width + x).
-    Returns:
-      (origins (N,3), directions (N,3) unit, new rng state (N,)).
-    """
-    n = width * height
-    pix = jnp.arange(n, dtype=jnp.uint32)
+    Replicates raytrace.rgen:49-61: jitter in [-0.5, 0.5]^2,
+    point = ((pix + jitter) / size) - 0.5, then frustum-corner interpolation
+    (which reduces to direction + 2*t*aspect*px*right + 2*t*py*up)."""
     px_i = (pix % jnp.uint32(width)).astype(jnp.float32)
     py_i = (pix // jnp.uint32(width)).astype(jnp.float32)
-
-    state, jx, jy = rng.next_uniform2(state)
     # reference jitter is rand - 0.5 (raytrace.rgen:49-53)
     point_x = (px_i + jx - 0.5) / jnp.float32(width) - 0.5
     point_y = (py_i + jy - 0.5) / jnp.float32(height) - 0.5
-
     aspect = jnp.float32(width / height)
     t = jnp.float32(tan_half_fov)
     # frustumLR - frustumLL == 2*right*t*aspect; frustumTL - frustumLL == 2*up*t
@@ -116,7 +100,59 @@ def generate_rays(
         + point_y[:, None] * (2.0 * t) * camera.up[None, :]
     )
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(camera.position[None, :], (n, 3))
+    o = jnp.broadcast_to(camera.position[None, :], (pix.shape[0], 3))
+    return o, d
+
+
+def generate_rays(
+    camera: Camera,
+    width: int,
+    height: int,
+    tan_half_fov: float,
+    state: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Generate one jittered primary ray per pixel from caller-provided RNG
+    states.
+
+    Args:
+      state: (N,) uint32 per-pixel RNG states (N = width*height, row-major
+        like gl_LaunchIDEXT with y*width + x).
+    Returns:
+      (origins (N,3), directions (N,3) unit, new rng state (N,)).
+    """
+    n = width * height
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    state, jx, jy = rng.next_uniform2(state)
+    o, d = _frustum_rays(camera, pix, jx, jy, width, height, tan_half_fov)
+    return o, d, state
+
+
+def camera_rays_for_rows(camera: Camera, row_start, rows: int, width: int,
+                         height: int, tan_half_fov, sample_index, seed,
+                         spp: int = 1):
+    """Jittered primary rays for a horizontal band of the image — the ONE
+    parameterized raygen used by the sequential integrator
+    (integrator.render_rows) and the sharded launch (parallel.shard), so
+    sharded-vs-sequential stays bit-identical by construction.
+
+    `row_start` and `sample_index` may be traced; `rows` and `spp` are
+    static. With spp > 1 the batch holds `spp` replicas of the band, each at
+    sample index `sample_index * spp + j` (caller averages the replicas).
+    Returns (origins, directions, rng state)."""
+    n = rows * width
+    local = jnp.arange(n, dtype=jnp.uint32)
+    pix = local + jnp.asarray(row_start, jnp.uint32) * jnp.uint32(width)
+    if spp > 1:
+        pix = jnp.tile(pix, spp)
+        sample_vec = jnp.repeat(
+            jnp.asarray(sample_index, jnp.uint32) * jnp.uint32(spp)
+            + jnp.arange(spp, dtype=jnp.uint32), n)
+    else:
+        sample_vec = sample_index
+    state = rng.init_state(pix, sample_vec, seed)
+    state, jx = rng.next_rand(state)
+    state, jy = rng.next_rand(state)
+    o, d = _frustum_rays(camera, pix, jx, jy, width, height, tan_half_fov)
     return o, d, state
 
 

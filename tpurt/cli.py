@@ -79,6 +79,16 @@ def build_parser():
                    help="TILExSPP device mesh (e.g. 2x4) for multi-chip rendering")
     r.add_argument("--save-accum", default=None,
                    help="also dump the raw accumulation buffer (npz)")
+    r.add_argument("--trace", default=None, metavar="DIR",
+                   help="write a jax.profiler trace (perfetto/TensorBoard) "
+                        "of the render to DIR (utils/profiling.trace)")
+    r.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans for the render and print a "
+                        "non-finite-pixel report (the NaN-to-red guard's "
+                        "debug view, raytrace.rgen:78-80)")
+    r.add_argument("--validate", action="store_true",
+                   help="check DeviceScene invariants before rendering "
+                        "(the validation-layer analogue, Config.hpp:6)")
 
     i = sub.add_parser("info", help="print scene statistics")
     i.add_argument("scenes", nargs="+")
@@ -98,6 +108,8 @@ def build_parser():
 
 
 def cmd_render(args):
+    import contextlib
+
     import numpy as np
 
     from tpurt.camera import Camera, orbit_path
@@ -132,6 +144,16 @@ def cmd_render(args):
           f"alpha-tested={renderer.has_alpha}, "
           f"loaded in {time.perf_counter() - t0:.2f}s")
 
+    if args.validate:
+        from tpurt.utils.debug import validate_scene
+
+        problems = validate_scene(renderer.device_scene)
+        if problems:
+            for p in problems:
+                print(f"  VALIDATION: {p}", file=sys.stderr)
+            return 2
+        print("  scene validation: ok")
+
     sharded = None
     if args.shard:
         from tpurt.parallel import ShardedRenderer, make_mesh
@@ -139,6 +161,29 @@ def cmd_render(args):
         t, s = (int(x) for x in args.shard.lower().split("x"))
         sharded = ShardedRenderer(renderer, make_mesh(n_tile=t, n_spp=s))
         print(f"  sharding over mesh tile={t} x spp={s}")
+
+    with contextlib.ExitStack() as stack:
+        if args.trace:
+            from tpurt.utils.profiling import trace
+
+            stack.enter_context(trace(args.trace))
+            print(f"  profiler trace -> {args.trace}")
+        if args.debug_nans:
+            from tpurt.utils.debug import with_checks
+
+            stack.enter_context(with_checks())
+        rc = _render_body(args, renderer, sharded)
+    if args.debug_nans:
+        from tpurt.utils.debug import nan_report
+
+        print(f"  {nan_report(renderer.accum)}")
+    return rc
+
+
+def _render_body(args, renderer, sharded):
+    import os
+
+    from tpurt.camera import orbit_path
 
     if args.orbit or args.fly:
         if args.orbit:

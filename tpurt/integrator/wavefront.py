@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from tpurt import rng
 from tpurt.bvh.lbvh import LBVH
 from tpurt.bvh.traverse import closest_hit
-from tpurt.camera import Camera
+from tpurt.camera import Camera, camera_rays_for_rows
 from tpurt.config import RenderConfig
 from tpurt.kernels import bsdf as B
 from tpurt.kernels.intersect import Hit, KIND_MISS, KIND_SPHERE, KIND_TRIANGLE
@@ -63,6 +63,31 @@ from tpurt.scene.device import DeviceScene
 from tpurt.scene.types import NO_TEXTURE
 
 MAX_WAVES = 8  # camera hit + up to 7 bounces (recursion cap, PipelineBuilder.cpp:172)
+
+
+def _alpha_rejected(scene, h: Hit, mask) -> jnp.ndarray:
+    """Exact any-hit alpha test for committed hits (raytrace.rahit:53-58):
+    True where the hit must be ignored (albedo texture alpha < cutoff)."""
+    is_tri = h.kind == KIND_TRIANGLE
+    prim = jnp.clip(h.prim, 0, scene.tri_pos.shape[0] - 1)
+    # ONE fused row gather: [tested, cutoff, tex, uv0, uv1, uv2]
+    row = scene.tri_alpha_row[prim]
+    tested = (row[:, 0] > 0.0) & is_tri & mask
+
+    def evaluate(_):
+        w0 = 1.0 - h.u - h.v
+        uv_u = w0 * row[:, 3] + h.u * row[:, 5] + h.v * row[:, 7]
+        uv_v = w0 * row[:, 4] + h.u * row[:, 6] + h.v * row[:, 8]
+        tex = row[:, 2].astype(jnp.int32)
+        a = sample_texture_alpha_nearest(scene.atlas, scene.tex_table, tex,
+                                         uv_u, uv_v)
+        a = jnp.where(tex == NO_TEXTURE, 1.0, a)
+        return tested & (a < row[:, 1])
+
+    # most waves hit no alpha-tested geometry at all: skip the texture
+    # tap entirely in that case
+    return jax.lax.cond(jnp.any(tested), evaluate,
+                        lambda _: jnp.zeros_like(tested), None)
 
 
 def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
@@ -76,27 +101,7 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
     if not has_alpha:
         return hit
 
-    def alpha_rejected(h: Hit, mask) -> jnp.ndarray:
-        is_tri = h.kind == KIND_TRIANGLE
-        prim = jnp.clip(h.prim, 0, scene.tri_pos.shape[0] - 1)
-        # ONE fused row gather: [tested, cutoff, tex, uv0, uv1, uv2]
-        row = scene.tri_alpha_row[prim]
-        tested = (row[:, 0] > 0.0) & is_tri & mask
-
-        def evaluate(_):
-            w0 = 1.0 - h.u - h.v
-            uv_u = w0 * row[:, 3] + h.u * row[:, 5] + h.v * row[:, 7]
-            uv_v = w0 * row[:, 4] + h.u * row[:, 6] + h.v * row[:, 8]
-            tex = row[:, 2].astype(jnp.int32)
-            a = sample_texture_alpha_nearest(scene.atlas, scene.tex_table, tex,
-                                             uv_u, uv_v)
-            a = jnp.where(tex == NO_TEXTURE, 1.0, a)
-            return tested & (a < row[:, 1])
-
-        # most waves hit no alpha-tested geometry at all: skip the texture
-        # tap entirely in that case
-        return jax.lax.cond(jnp.any(tested), evaluate,
-                            lambda _: jnp.zeros_like(tested), None)
+    alpha_rejected = partial(_alpha_rejected, scene)
 
     # carry the rejection mask so each iteration evaluates the (gather
     # heavy) texture test once, not once in cond and once in body; later
@@ -132,23 +137,98 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
     return hit
 
 
-def _shadow_payload(scene, hit: Hit, throughput, cfg: RenderConfig):
-    """What the shadow/MIS ray 'returns' (the RayPayload color protocol):
-    rgb and the alpha code (1 surface / 0 light / -4 envmap)."""
+def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
+                  has_alpha: bool):
+    """NEE shadow/MIS-ray resolution: the payload protocol of a full
+    closest-hit trace (rgb + alpha code 1 surface / 0 light / -4 envmap),
+    computed as an OCCLUSION query.
+
+    The shadow payload never reads surface attributes (triangle.rchit:114
+    returns black immediately), so the trace only needs (a) the closest
+    sphere-light hit — analytic, in XLA, over the handful of lights — and
+    (b) whether ANY surviving triangle hit lies closer than it. On the
+    kernel path (b) runs as an early-exit occlusion walk with per-ray
+    t_limit: subtrees beyond the light are pruned by the far test and rays
+    retire at the first definite (non-alpha-testable) occluder. Alpha hits
+    keep exact semantics via the texture recheck + re-trace loop.
+
+    Returns (rgb (N,3), alpha code (N,), is_miss (N,) for the
+    depth++-on-miss quirk, raytrace.rmiss:10)."""
+    from tpurt.bvh.traverse import occlusion_hit
+    from tpurt.kernels.intersect import intersect_spheres
+    from tpurt.kernels.pallas_traverse import KernelBVH
+    from tpurt.kernels.pallas_wide import WideKernelBVH
+
+    n = o.shape[0]
+    t_min0 = jnp.zeros(n)
+    if scene.num_lights > 0:
+        s_hit, s_t, s_id = intersect_spheres(o, d, scene.lights, t_min0,
+                                             cfg.t_max)
+        s_hit = s_hit & active
+    else:
+        s_hit = jnp.zeros(n, bool)
+        s_t = jnp.full(n, cfg.t_max, jnp.float32)
+        s_id = jnp.zeros(n, jnp.int32)
+    t_limit = jnp.where(s_hit, s_t, cfg.t_max)
+
+    if isinstance(bvh, (KernelBVH, WideKernelBVH)):
+        blocked, hit = occlusion_hit(bvh, o, d, t_min0, t_limit, active,
+                                     has_alpha)
+        if has_alpha:
+            # exact alpha recheck of uncertain (alpha-testable) hits, with
+            # occlusion re-trace past texture-rejected ones — the any-hit
+            # loop of _trace, in occlusion form
+            unc = active & ~blocked & (hit.prim >= 0)
+            rej = _alpha_rejected(scene, hit, unc)
+            blocked = blocked | (unc & ~rej)
+
+            def cond(state):
+                i, blocked, hit, t_min, rej = state
+                return (i < cfg.max_alpha_skips) & jnp.any(rej)
+
+            def body(state):
+                i, blocked, hit, t_min, rej = state
+                t_min = jnp.where(rej, hit.t * (1.0 + 1e-6) + 1e-5, t_min)
+                b2, h2 = occlusion_hit(bvh, o, d, t_min, t_limit, rej,
+                                       has_alpha, sort_rays=False)
+                hit = Hit(
+                    t=jnp.where(rej, h2.t, hit.t),
+                    kind=jnp.where(rej, h2.kind, hit.kind),
+                    prim=jnp.where(rej, h2.prim, hit.prim),
+                    u=jnp.where(rej, h2.u, hit.u),
+                    v=jnp.where(rej, h2.v, hit.v),
+                )
+                unc2 = rej & ~b2 & (hit.prim >= 0)
+                rej2 = _alpha_rejected(scene, hit, unc2)
+                blocked = blocked | (rej & b2) | (unc2 & ~rej2)
+                return i + 1, blocked, hit, t_min, rej2
+
+            _, blocked, hit, _, rej = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), blocked, hit, t_min0, rej))
+            # re-trace cap reached: parity with _trace, which leaves the
+            # rejected hit committed (treated as a surface -> black)
+            blocked = blocked | rej
+    else:
+        hit = _trace(scene, bvh, o, d, t_min0, active, False, cfg, has_alpha,
+                     sort_rays=False)
+        # <=: ties between a surface and the sphere commit the surface,
+        # matching the closest-hit formulation (s_hit required s_t < t)
+        blocked = active & (hit.kind == KIND_TRIANGLE) & (hit.t <= t_limit)
+
+    # payload protocol (sphere.rchit:18-19 / rmiss:11 / triangle.rchit:114)
     sky = jnp.asarray(cfg.sky_color, jnp.float32)
     if scene.num_lights > 0:
-        light = scene.lights[jnp.clip(hit.prim, 0, scene.num_lights - 1)]
-        light_rgb = light[..., 4:7] * light[..., 7:8] * throughput[:, None]  # sphere.rchit:18
+        light = scene.lights[jnp.clip(s_id, 0, scene.num_lights - 1)]
+        light_rgb = light[..., 4:7] * light[..., 7:8] * throughput[:, None]
     else:
-        light_rgb = jnp.zeros((hit.t.shape[0], 3), jnp.float32)
-    sky_rgb = sky[None, :] * throughput[:, None]                        # rmiss:11
-    is_sphere = hit.kind == KIND_SPHERE
-    is_miss = hit.kind == KIND_MISS
-    rgb = jnp.where(
-        is_sphere[:, None], light_rgb, jnp.where(is_miss[:, None], sky_rgb, 0.0)
-    )
-    a = jnp.where(is_sphere, 0.0, jnp.where(is_miss, -4.0, 1.0))
-    return rgb, a
+        light_rgb = jnp.zeros((n, 3), jnp.float32)
+    sky_rgb = sky[None, :] * throughput[:, None]
+    hit_sphere = s_hit & ~blocked
+    is_miss = active & ~blocked & ~s_hit
+    rgb = jnp.where(blocked[:, None], 0.0,
+                    jnp.where(hit_sphere[:, None], light_rgb, sky_rgb))
+    a = jnp.where(blocked, 1.0, jnp.where(hit_sphere, 0.0, -4.0))
+    return rgb, a, is_miss
 
 
 def trace_paths(
@@ -297,23 +377,21 @@ def trace_paths(
         micro_n = jnp.where((alpha > 0.0)[:, None], micro_n, shading_n)
         dir2 = B.reflect(d, micro_n)
 
-        h12 = _trace(
+        # both NEE rays resolve as ONE fused 2N occlusion batch (shadow
+        # payloads never read surface attributes, triangle.rchit:114-117)
+        rgb12, a12, miss12 = _trace_shadow(
             scene, bvh,
             jnp.concatenate([nee_o, nee_o]),
             jnp.concatenate([dir1, dir2]),
-            jnp.zeros(2 * n),
             jnp.concatenate([is_tri, is_tri]),
-            True, cfg, has_alpha,
+            jnp.concatenate([throughput, throughput]),
+            cfg, has_alpha,
         )
-        h1 = Hit(t=h12.t[:n], kind=h12.kind[:n], prim=h12.prim[:n],
-                 u=h12.u[:n], v=h12.v[:n])
-        h2 = Hit(t=h12.t[n:], kind=h12.kind[n:], prim=h12.prim[n:],
-                 u=h12.u[n:], v=h12.v[n:])
-        rgb1, a1 = _shadow_payload(scene, h1, throughput, cfg)
+        rgb1, rgb2 = rgb12[:n], rgb12[n:]
+        a1, a2 = a12[:n], a12[n:]
         # rmiss increments recursionDepth (raytrace.rmiss:10)
-        depth = depth + ((h1.kind == KIND_MISS) & is_tri).astype(jnp.int32)
-        rgb2, a2 = _shadow_payload(scene, h2, throughput, cfg)
-        depth = depth + ((h2.kind == KIND_MISS) & is_tri).astype(jnp.int32)
+        depth = (depth + miss12[:n].astype(jnp.int32)
+                 + miss12[n:].astype(jnp.int32))
 
         # weightLight (raytrace-common.glsl:51-62), alpha clamp 1e-5
         al_l = jnp.maximum(alpha, 0.00001)
@@ -428,41 +506,8 @@ def trace_paths(
     return carry[3]
 
 
-def camera_rays_for_rows(camera, row_start, rows, width, height, tan_half_fov,
-                         sample_index, seed, spp: int = 1):
-    """Jittered primary rays for a horizontal band of the image (the same
-    math as camera.generate_rays, offset into the global image plane).
-    `row_start` may be traced; `rows` and `spp` are static. With spp > 1
-    the batch holds `spp` replicas of the band, each at sample index
-    `sample_index * spp + j` (caller averages the replicas)."""
-    n = rows * width
-    local = jnp.arange(n, dtype=jnp.uint32)
-    pix = local + jnp.asarray(row_start, jnp.uint32) * jnp.uint32(width)
-    if spp > 1:
-        pix = jnp.tile(pix, spp)
-        sample_vec = jnp.repeat(
-            jnp.asarray(sample_index, jnp.uint32) * jnp.uint32(spp)
-            + jnp.arange(spp, dtype=jnp.uint32), n)
-        n = n * spp
-    else:
-        sample_vec = sample_index
-    state = rng.init_state(pix, sample_vec, seed)
-    state, jx = rng.next_rand(state)
-    state, jy = rng.next_rand(state)
-    px = (pix % jnp.uint32(width)).astype(jnp.float32)
-    py = (pix // jnp.uint32(width)).astype(jnp.float32)
-    point_x = (px + jx - 0.5) / jnp.float32(width) - 0.5
-    point_y = (py + jy - 0.5) / jnp.float32(height) - 0.5
-    t = jnp.float32(tan_half_fov)
-    aspect = jnp.float32(width / height)
-    d = (
-        camera.direction[None, :]
-        + point_x[:, None] * (2.0 * t * aspect) * camera.right[None, :]
-        + point_y[:, None] * (2.0 * t) * camera.up[None, :]
-    )
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(camera.position[None, :], (n, 3))
-    return o, d, state
+# (raygen lives in tpurt.camera.camera_rays_for_rows — the ONE definition
+# shared with the sharded launch so sharded-vs-sequential stays bit-identical)
 
 
 @partial(jax.jit, static_argnames=("rows", "width", "height", "cfg", "has_alpha",

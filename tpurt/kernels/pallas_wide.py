@@ -1,0 +1,470 @@
+"""Wide (8-ary) Pallas packet-traversal kernel.
+
+Evolution of the binary rope kernel (pallas_traverse.py) along the two
+axes its measurements exposed:
+
+1. **Lane economy.** The binary node row uses 8 of 128 lanes (Mosaic pads
+   every row); an 8-ary node packs 8 child AABBs + links + kinds into 64
+   lanes, so the VMEM-resident node table shrinks ~8x. That VMEM headroom
+   buys SMALL LEAVES at Sponza scale: G=4 instead of G=14, which round-1
+   ablations measured ~10x faster end-to-end (fat leaf AABBs multiply
+   false-positive leaf entries).
+2. **Step economy.** One traversal step tests 8 child boxes from ONE
+   scalar row read; the per-slot hit booleans are packed as bits of one
+   (8,128) i32 and collapsed with a SINGLE cross-lane max-reduce, so the
+   step still pays ~one vector->scalar transfer like the binary kernel,
+   but covers 3 binary levels.
+
+Descent order is precomputed: each direction octant gets its own node
+table (scalar-prefetched like the binary kernel) with the 8 child slots
+sorted near-to-far along that octant, so the kernel pushes far slots
+first onto a small SMEM stack and pops the nearest next. The stack
+replaces the binary kernel's ropes; its depth is bounded by the Karras
+radix-tree depth (<= 60 binary levels => <= 20 wide levels => < 160
+entries with 8 pushes/level).
+
+The 8-ary topology is the binary LBVH collapsed host-side: wide nodes are
+the binary internal nodes at depth % 3 == 0; their children are whatever
+the 3-level descent reaches (leaves stop early). Replaces hardware
+traceRayEXT (raytrace.rgen:71) like its binary predecessor.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurt.bvh.lbvh import TriBVH
+
+PACKET = 1024
+_SUB, _LANE = 8, 128
+_STACK = 256
+# node row lane layout
+_BOX0 = 0      # 8 slots x [minx,miny,minz,maxx,maxy,maxz] = 48 lanes
+_LINK0 = 48    # 8 slots: child wide id / leaf id (exact small int in f32)
+_KIND0 = 56    # 8 slots: 0 empty, 1 internal, 2 leaf
+_BIG = 3.0e38
+
+
+class WideKernelBVH(NamedTuple):
+    """TriBVH plus packed 8-ary tables (pytree; drop-in for TriBVH in
+    closest_hit dispatch, like KernelBVH)."""
+
+    tribvh: TriBVH
+    node_rows: jnp.ndarray  # (8, W, 128) f32, per-octant slot-sorted
+    tri_rows: jnp.ndarray   # (L, G*9 [+ G]) f32
+
+
+def _binary_depths(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """Depth of every internal node of the binary radix tree (root 0)."""
+    n_int = left.shape[0]
+    depth = np.full(n_int, -1, np.int64)
+    depth[0] = 0
+    frontier = np.array([0], np.int64)
+    d = 0
+    while frontier.size:
+        children = np.concatenate([left[frontier], right[frontier]])
+        children = children[children < n_int]
+        d += 1
+        depth[children] = d
+        frontier = children
+    return depth
+
+
+def collapse_to_wide(tribvh: TriBVH) -> tuple:
+    """Collapse the binary LBVH into 8-ary wide nodes (host-side NumPy;
+    builds are per-scene, the result is a static device table).
+
+    Returns (child_node (W, 8) terminal binary ids or -1,
+             wide_of_binary (n_internal,) wide id or -1)."""
+    bvh = tribvh.bvh
+    left = np.asarray(bvh.left).astype(np.int64)
+    right = np.asarray(bvh.right).astype(np.int64)
+    n_int = bvh.num_internal
+    depth = _binary_depths(left, right)
+    wide_binary = np.nonzero(depth % 3 == 0)[0]
+    w = wide_binary.shape[0]
+    wide_of_binary = np.full(n_int, -1, np.int64)
+    wide_of_binary[wide_binary] = np.arange(w)
+
+    # walk all 8 bit-paths 3 levels down; a path that reaches a leaf early
+    # is valid only when its remaining bits are 0 (dedupes the leaf)
+    paths = np.arange(8, dtype=np.int64)
+    cur = np.repeat(wide_binary[:, None], 8, axis=1)
+    stopped = np.zeros((w, 8), bool)
+    valid = np.ones((w, 8), bool)
+    for step in range(3):
+        bit = (paths[None, :] >> (2 - step)) & 1
+        is_leaf_now = cur >= n_int
+        newly = ~stopped & is_leaf_now
+        valid &= ~((stopped | newly) & (bit == 1))
+        stopped |= newly
+        safe = np.clip(cur, 0, n_int - 1)
+        nxt = np.where(bit == 0, left[safe], right[safe])
+        cur = np.where(stopped, cur, nxt)
+    child_node = np.where(valid, cur, -1)
+    return child_node, wide_of_binary
+
+
+def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
+                               tri_alpha_mask=None):
+    """Build (node_rows (8, W, 128), tri_rows (L, G*9[+G])) for the wide
+    kernel. Requires identity leaf order (build_triangle_bvh) and
+    group_size*9 <= 128 like the binary packer."""
+    bvh = tribvh.bvh
+    g = tribvh.group_size
+    assert g * 9 <= _LANE, f"group_size {g} does not fit a 128-lane leaf row"
+    n_int = bvh.num_internal
+    child_node, wide_of_binary = collapse_to_wide(tribvh)
+    w = child_node.shape[0]
+
+    node_min = np.asarray(bvh.node_min)
+    node_max = np.asarray(bvh.node_max)
+    safe = np.clip(child_node, 0, 2 * bvh.num_leaves - 2)
+    cmin = node_min[safe]                      # (W, 8, 3)
+    cmax = node_max[safe]
+    empty = child_node < 0
+    cmin = np.where(empty[..., None], _BIG, cmin)
+    cmax = np.where(empty[..., None], -_BIG, cmax)
+
+    is_leaf = (child_node >= n_int) & ~empty
+    link = np.where(is_leaf, child_node - n_int,
+                    np.where(empty, 0, wide_of_binary[np.clip(child_node, 0,
+                                                              n_int - 1)]))
+    assert (link >= 0).all(), "internal wide child lacks a wide id"
+    kind = np.where(empty, 0, np.where(is_leaf, 2, 1))
+
+    # per-octant slot sort: nearest child first along the octant direction
+    centers = 0.5 * (cmin + cmax)              # (W, 8, 3)
+    rows = np.zeros((8, w, _LANE), np.float32)
+    for o in range(8):
+        sign = np.array([1 - 2 * ((o >> 2) & 1), 1 - 2 * ((o >> 1) & 1),
+                         1 - 2 * (o & 1)], np.float64)
+        key = centers.astype(np.float64) @ sign
+        key[empty] = np.inf
+        order = np.argsort(key, axis=1, kind="stable")  # (W, 8)
+        gi = np.arange(w)[:, None]
+        box = np.concatenate([cmin[gi, order], cmax[gi, order]], axis=2)
+        rows[o, :, _BOX0:_BOX0 + 48] = box.reshape(w, 48)
+        rows[o, :, _LINK0:_LINK0 + 8] = link[gi, order]
+        rows[o, :, _KIND0:_KIND0 + 8] = kind[gi, order]
+
+    tri_sorted = tri_pos[tribvh.tri_order]
+    tri_rows = tri_sorted.reshape(bvh.num_leaves, g * 9)
+    if tri_alpha_mask is not None and g * 10 <= _LANE:
+        masks = tri_alpha_mask[tribvh.tri_order].astype(jnp.float32)
+        tri_rows = jnp.concatenate(
+            [tri_rows, masks.reshape(bvh.num_leaves, g)], axis=1)
+    return jnp.asarray(rows), tri_rows
+
+
+def make_wide_kernel_bvh(tribvh: TriBVH, tri_pos: jnp.ndarray,
+                         tri_alpha_mask=None) -> "WideKernelBVH":
+    node_rows, tri_rows = pack_scene_for_wide_kernel(tribvh, tri_pos,
+                                                     tri_alpha_mask)
+    return WideKernelBVH(tribvh=tribvh, node_rows=node_rows,
+                         tri_rows=tri_rows)
+
+
+def _tri_test(row, k, t_min, t_best, prim, uu, vv, leaf, active,
+              ox, oy, oz, dx, dy, dz, group, use_masks):
+    """Moller-Trumbore vs triangle k of a leaf row, with the 4x4
+    barycentric transparency-mask rejection (shared by closest/occlusion)."""
+    base = k * 9
+    v0x, v0y, v0z = row[base + 0], row[base + 1], row[base + 2]
+    v1x, v1y, v1z = row[base + 3], row[base + 4], row[base + 5]
+    v2x, v2y, v2z = row[base + 6], row[base + 7], row[base + 8]
+    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t > t_min) & (t < t_best) & active)
+    testable = None
+    if use_masks:
+        m_int = jnp.int32(row[group * 9 + k])
+        cu = jnp.clip((u * 4.0).astype(jnp.int32), 0, 3)
+        cv = jnp.clip((v * 4.0).astype(jnp.int32), 0, 3)
+        bit = jnp.right_shift(m_int, cu * 4 + cv) & 1
+        hit = hit & (bit == 0)
+        testable = (jnp.right_shift(m_int, 16) & 1) == 1
+    t_best = jnp.where(hit, t, t_best)
+    prim = jnp.where(hit, leaf * group + k, prim)
+    uu = jnp.where(hit, u, uu)
+    vv = jnp.where(hit, v, vv)
+    return t_best, prim, uu, vv, hit, testable
+
+
+def _wide_kernel(oct_ref, nb_ref, tr_ref,
+                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                 tmin_ref, tlim_ref, act_ref,
+                 t_ref, prim_ref, u_ref, v_ref, blk_ref,
+                 stack_ref,
+                 *, group: int, use_masks: bool, occlusion: bool,
+                 all_definite: bool):
+    """Stack-based 8-ary packet traversal (closest-hit or occlusion).
+
+    Stack entries: wide node id (>= 0) or -(leaf id + 1). Slot hits of a
+    node are packed as bits of one i32 vector and collapsed with one
+    max-reduce, so a step costs ~one vector->scalar transfer."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    t_min = tmin_ref[:]
+    act0 = act_ref[:] > 0.0
+
+    tiny = jnp.float32(1e-20)
+    inv_x = jnp.where(dx >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dx), tiny)
+    inv_y = jnp.where(dy >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dy), tiny)
+    inv_z = jnp.where(dz >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dz), tiny)
+
+    stack_ref[0] = jnp.int32(0)  # wide root
+
+    # branch-free body: Mosaic legalizes predicated vector selects far more
+    # reliably than lax.cond over mixed scalar/vector carries, and the
+    # always-executed node+leaf work is cheap vector ALU on an otherwise
+    # latency-bound loop. `blocked` rides the carry as f32 (i1 vector
+    # yields fail to legalize).
+    def body(carry):
+        sp, t_best, prim, uu, vv, blocked = carry
+        active = act0 if not occlusion else act0 & (blocked == 0.0)
+        sp = sp - 1
+        entry = stack_ref[sp]
+        is_node = entry >= 0
+
+        # ---- node path (predicated on is_node) --------------------------
+        row = nb_ref[0, jnp.maximum(entry, 0)]
+        # pack per-slot packet hits as bits of ONE i32 vector
+        hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
+        for s in range(8):
+            b = s * 6
+            t0x = (row[_BOX0 + b + 0] - ox) * inv_x
+            t0y = (row[_BOX0 + b + 1] - oy) * inv_y
+            t0z = (row[_BOX0 + b + 2] - oz) * inv_z
+            t1x = (row[_BOX0 + b + 3] - ox) * inv_x
+            t1y = (row[_BOX0 + b + 4] - oy) * inv_y
+            t1z = (row[_BOX0 + b + 5] - oz) * inv_z
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+            hit_s = (tn <= tf) & active
+            hitbits = hitbits | jnp.where(hit_s, jnp.int32(1 << s),
+                                          jnp.int32(0))
+        # collapse to one scalar 8-bit hitmask with log2 OR-rotations
+        # (ONE vector->scalar transfer per step, like the binary kernel)
+        for shift in (4, 2, 1):
+            hitbits = hitbits | pltpu.roll(hitbits, shift, 0)
+        for shift in (64, 32, 16, 8, 4, 2, 1):
+            hitbits = hitbits | pltpu.roll(hitbits, shift, 1)
+        mask_scalar = jnp.where(is_node, hitbits[0, 0], 0)
+
+        # push far slots first (slots pre-sorted near-to-far per octant);
+        # kind == 0 gates EMPTY slots — their inverted placeholder box does
+        # not fail the slab test (min/max re-sorts the slabs), so the kind
+        # check is what actually excludes them
+        for s in range(7, -1, -1):
+            kind = row[_KIND0 + s].astype(jnp.int32)
+            link = row[_LINK0 + s].astype(jnp.int32)
+            child_entry = jnp.where(kind == 2, -(link + 1), link)
+            do_push = ((jnp.right_shift(mask_scalar, s) & 1) > 0) & (kind > 0)
+
+            @pl.when(do_push)
+            def _(sp=sp, child_entry=child_entry):
+                stack_ref[sp] = child_entry
+
+            sp = sp + do_push.astype(jnp.int32)
+
+        # ---- leaf path (predicated on ~is_node) -------------------------
+        leaf = jnp.maximum(-entry - 1, 0)
+        lrow = tr_ref[leaf]
+        lactive = active & jnp.logical_not(is_node)
+        for k in range(group):
+            t_best, prim, uu, vv, hit, testable = _tri_test(
+                lrow, k, t_min, t_best, prim, uu, vv, leaf, lactive,
+                ox, oy, oz, dx, dy, dz, group, use_masks)
+            if occlusion:
+                if use_masks:
+                    definite = hit & jnp.logical_not(testable)
+                elif all_definite:
+                    definite = hit
+                else:
+                    definite = None
+                if definite is not None:
+                    blocked = jnp.maximum(
+                        blocked, jnp.where(definite, 1.0, 0.0))
+
+        return sp, t_best, prim, uu, vv, blocked
+
+    def cond(carry):
+        sp = carry[0]
+        live = sp > 0
+        if occlusion:
+            live = live & jnp.any(act0 & (carry[5] == 0.0))
+        return live
+
+    init = (
+        jnp.int32(1),
+        tlim_ref[:],
+        jnp.full((_SUB, _LANE), -1, jnp.int32),
+        jnp.zeros((_SUB, _LANE), jnp.float32),
+        jnp.zeros((_SUB, _LANE), jnp.float32),
+        jnp.zeros((_SUB, _LANE), jnp.float32),
+    )
+    _, t_best, prim, uu, vv, blocked = jax.lax.while_loop(cond, body, init)
+
+    t_ref[:] = t_best
+    prim_ref[:] = prim
+    u_ref[:] = uu
+    v_ref[:] = vv
+    blk_ref[:] = blocked
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "group", "occlusion", "all_definite", "interpret"))
+def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
+                  tmin, tlim, act, *, group, occlusion, all_definite,
+                  interpret=False):
+    n_packets = ox.shape[0] // _SUB
+    w = node_rows.shape[1]
+    ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p, oct_ref: (p, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nodes_spec = pl.BlockSpec((1, w, _LANE),
+                              lambda p, oct_ref: (oct_ref[p], 0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_packets,),
+        in_specs=[nodes_spec, full] + [ray_spec] * 9,
+        out_specs=[ray_spec] * 5,
+        scratch_shapes=[pltpu.SMEM((_STACK,), jnp.int32)],
+    )
+    use_masks = tri_rows.shape[1] == group * 10
+    kernel = functools.partial(_wide_kernel, group=group, use_masks=use_masks,
+                               occlusion=occlusion, all_definite=all_definite)
+    out_shape = [
+        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(ox.shape, jnp.int32),
+        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
+    ]
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        **params,
+    )(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz, tmin, tlim, act)
+
+
+def _layout(kbvh, o, d, t_min, t_limit, active):
+    n = o.shape[0]
+    padded = max(PACKET, ((n + PACKET - 1) // PACKET) * PACKET)
+
+    def lay(x, fill):
+        x = jnp.concatenate([x, jnp.full(padded - n, fill, x.dtype)]) if padded > n else x
+        return x.reshape(padded // _LANE, _LANE)
+
+    ox = lay(o[:, 0], 0.0)
+    oy = lay(o[:, 1], 0.0)
+    oz = lay(o[:, 2], 0.0)
+    dx = lay(d[:, 0], 1.0)
+    dy = lay(d[:, 1], 1.0)
+    dz = lay(d[:, 2], 1.0)
+    tm = lay(t_min, 0.0)
+    tl = lay(t_limit, 0.0)
+    ac = lay(active.astype(jnp.float32), 0.0)
+    oct_all = (
+        (dx < 0).astype(jnp.int32) * 4
+        + (dy < 0).astype(jnp.int32) * 2
+        + (dz < 0).astype(jnp.int32)
+    )
+    octants = oct_all.reshape(-1, _SUB, _LANE)[:, 0, 0]
+    return octants, ox, oy, oz, dx, dy, dz, tm, tl, ac, n
+
+
+def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
+                     interpret: bool = False):
+    """Closest-hit via the wide kernel (same contract as
+    pallas_traverse.traverse_packets)."""
+    tribvh = kbvh.tribvh
+    t_limit = jnp.full(o.shape[0], t_max, jnp.float32)
+    octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active)
+    t, prim, u, v, _ = _wide_packets(
+        octants, kbvh.node_rows, kbvh.tri_rows, *rays,
+        group=tribvh.group_size, occlusion=False, all_definite=False,
+        interpret=interpret)
+    t = t.reshape(-1)[:n]
+    prim = prim.reshape(-1)[:n]
+    u = u.reshape(-1)[:n]
+    v = v.reshape(-1)[:n]
+    prim = jnp.where(prim >= 0, tribvh.tri_order[jnp.clip(prim, 0, None)], -1)
+    return t, prim, u, v
+
+
+def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
+                      scene_has_alpha: bool, interpret: bool = False):
+    """Occlusion query via the wide kernel (same contract as
+    pallas_traverse.occlusion_packets)."""
+    tribvh = kbvh.tribvh
+    octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active)
+    t, prim, u, v, blocked = _wide_packets(
+        octants, kbvh.node_rows, kbvh.tri_rows, *rays,
+        group=tribvh.group_size, occlusion=True,
+        all_definite=not scene_has_alpha, interpret=interpret)
+    blocked = blocked.reshape(-1)[:n] > 0.0
+    t = t.reshape(-1)[:n]
+    prim = prim.reshape(-1)[:n]
+    u = u.reshape(-1)[:n]
+    v = v.reshape(-1)[:n]
+    prim = jnp.where(prim >= 0, tribvh.tri_order[jnp.clip(prim, 0, None)], -1)
+    return blocked, t, prim, u, v
+
+
+def _wide_vmem_bytes(n_leaves: int) -> int:
+    """Physical VMEM: double-buffered octant node slice + leaf table.
+    W <= ceil((n_leaves - 1) / 2) wide nodes for any collapse (every wide
+    node absorbs >= 2 binary internals except possibly the last level);
+    conservatively budget W = n_leaves / 2."""
+    w = max(n_leaves // 2, 2)
+    return (2 * w + n_leaves) * _LANE * 4
+
+
+def wide_supported(tribvh: TriBVH, vmem_budget_bytes=80 * 2 ** 20) -> bool:
+    if tribvh.group_size * 9 > _LANE:
+        return False
+    return _wide_vmem_bytes(tribvh.bvh.num_leaves) < vmem_budget_bytes
+
+
+def pick_group_size_wide(num_tris: int, vmem_budget_bytes=80 * 2 ** 20) -> int:
+    """Smallest leaf group whose wide tables fit VMEM (sizes <= 12 keep
+    room for in-leaf alpha masks, G*10 <= 128)."""
+    for g in (4, 6, 8, 10, 12):
+        n_leaves = max(-(-num_tris // g), 2)
+        if _wide_vmem_bytes(n_leaves) < vmem_budget_bytes:
+            return g
+    return 12

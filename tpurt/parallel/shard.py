@@ -22,9 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tpurt import rng
 from tpurt.bvh.lbvh import LBVH
-from tpurt.camera import Camera, generate_rays
+from tpurt.camera import Camera, camera_rays_for_rows
 from tpurt.config import RenderConfig
 from tpurt.integrator import trace_paths
 from tpurt.scene.device import DeviceScene
@@ -44,69 +43,70 @@ def make_mesh(n_tile: int = 1, n_spp: Optional[int] = None, devices=None) -> Mes
 _LAUNCH_CACHE = {}
 
 
-def _get_launch(mesh: Mesh, width: int, height: int, cfg: RenderConfig,
-                has_alpha: bool):
-    """Build (and cache) the jitted shard-mapped launch for a mesh/config.
-    Without the outer jit, shard_map dispatches eagerly op-by-op — orders
-    of magnitude slower."""
-    key = (mesh, width, height, cfg, has_alpha)
+def _get_launch(mesh: Mesh, band_rows: int, width: int, height: int,
+                cfg: RenderConfig, has_alpha: bool, tex_flags):
+    """Build (and cache) the jitted shard-mapped launch for one row band of
+    `band_rows` rows (a multiple of the tile axis). Without the outer jit,
+    shard_map dispatches eagerly op-by-op — orders of magnitude slower."""
+    key = (mesh, band_rows, width, height, cfg, has_alpha, tex_flags)
     if key in _LAUNCH_CACHE:
         return _LAUNCH_CACHE[key]
 
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
-    assert height % n_tile == 0, f"height {height} must divide over {n_tile} tiles"
-    rows = height // n_tile
+    assert band_rows % n_tile == 0, (
+        f"band of {band_rows} rows must divide over {n_tile} tiles")
+    rows = band_rows // n_tile
+    spp = cfg.spp_per_launch
     n_local = rows * width
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=P("tile", None, None),
         # the traversal while_loop seeds its carry from replicated arrays
         # and updates it with device-varying rays; skip the VMA consistency
         # check rather than pvary-tagging every init deep in generic code
         check_vma=False,
     )
-    def launch(scene, bvh, camera, sample_index):
+    def launch(scene, bvh, camera, launch_index, band_row0):
         tile_rank = jax.lax.axis_index("tile")
         spp_rank = jax.lax.axis_index("spp")
-        sample = sample_index * n_spp + spp_rank
-
-        # global pixel ids of this tile's rows
-        row0 = tile_rank * rows
-        local = jnp.arange(n_local, dtype=jnp.uint32)
-        pix = local + row0.astype(jnp.uint32) * jnp.uint32(width)
-
-        state = rng.init_state(pix, sample, cfg.seed)
-        # jittered rays for the tile band (same math as generate_rays but
-        # offset into the global image plane)
-        state, jx = rng.next_rand(state)
-        state, jy = rng.next_rand(state)
-        px = (pix % jnp.uint32(width)).astype(jnp.float32)
-        py = (pix // jnp.uint32(width)).astype(jnp.float32)
-        point_x = (px + jx - 0.5) / jnp.float32(width) - 0.5
-        point_y = (py + jy - 0.5) / jnp.float32(height) - 0.5
-        t = jnp.float32(cfg.tan_half_fov)
-        aspect = jnp.float32(width / height)
-        d = (
-            camera.direction[None, :]
-            + point_x[:, None] * (2.0 * t * aspect) * camera.right[None, :]
-            + point_y[:, None] * (2.0 * t) * camera.up[None, :]
-        )
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        o = jnp.broadcast_to(camera.position[None, :], (n_local, 3))
-
-        radiance = trace_paths(scene, bvh, o, d, state, cfg=cfg, has_alpha=has_alpha)
+        # global sample id stream: (launch * S + spp_rank) * spp + j — with
+        # S=1 this is identical to the sequential render_rows stream
+        sample = launch_index * n_spp + spp_rank
+        row0 = band_row0 + (tile_rank * rows).astype(jnp.uint32)
+        o, d, state = camera_rays_for_rows(camera, row0, rows, width, height,
+                                           cfg.tan_half_fov, sample, cfg.seed,
+                                           spp=spp)
+        radiance = trace_paths(scene, bvh, o, d, state, cfg=cfg,
+                               has_alpha=has_alpha, tex_flags=tex_flags)
+        if spp > 1:
+            radiance = radiance.reshape(spp, n_local, 3).mean(axis=0)
         # merge the spp axis over ICI (the accumulation-buffer reduction)
         radiance = jax.lax.pmean(radiance, "spp")
         img = jnp.concatenate([radiance, jnp.ones((n_local, 1), jnp.float32)], -1)
         return img.reshape(rows, width, 4)
 
     jitted = jax.jit(launch)
-    _LAUNCH_CACHE[key] = (jitted, n_spp)
-    return jitted, n_spp
+    _LAUNCH_CACHE[key] = (jitted, n_spp * spp)
+    return jitted, n_spp * spp
+
+
+def _band_sizes(height: int, n_tile: int, chunk_rows: int):
+    """Split the image into row bands: each band a multiple of the tile
+    axis, sized ~chunk_rows (the per-launch wall-time / memory limiter,
+    RenderConfig.chunk_rows)."""
+    if chunk_rows <= 0 or chunk_rows >= height:
+        return [height]
+    per = max(chunk_rows - chunk_rows % n_tile, n_tile)
+    sizes = []
+    row = 0
+    while row < height:
+        sizes.append(min(per, height - row))
+        row += sizes[-1]
+    return sizes
 
 
 def render_sample_sharded(
@@ -120,17 +120,32 @@ def render_sample_sharded(
     height: int,
     cfg: RenderConfig,
     has_alpha: bool,
+    chunk_rows: int = 0,
+    tex_flags=(True, True, True, True),
 ):
     """One progressive launch over the mesh: returns ((H, W, 4) radiance,
     spp_delivered).
 
-    Each (tile, spp) shard renders `rows/T` of the image at sample index
-    `sample_index * S + spp_rank`; tiles concatenate (sharded output) and
-    the spp axis reduces by mean, so one call delivers S samples per pixel.
-    """
-    launch, n_spp = _get_launch(mesh, width, height, cfg, has_alpha)
-    out = launch(scene, bvh, camera, jnp.asarray(sample_index, jnp.uint32))
-    return out, n_spp
+    Each (tile, spp) shard renders its band slice at launch index
+    `sample_index`; tiles concatenate (sharded output) and the spp axis
+    reduces by mean, so one call delivers S * cfg.spp_per_launch samples
+    per pixel. With chunk_rows > 0 the frame runs in independent row bands
+    (one sharded launch each) to respect per-launch wall-time limits at
+    full resolution."""
+    n_tile = mesh.shape["tile"]
+    assert height % n_tile == 0, (
+        f"height {height} must divide over {n_tile} tiles")
+    launch_index = jnp.asarray(sample_index, jnp.uint32)
+    bands, delivered = [], 0
+    row = 0
+    for band_rows in _band_sizes(height, n_tile, chunk_rows):
+        launch, delivered = _get_launch(mesh, band_rows, width, height, cfg,
+                                        has_alpha, tuple(tex_flags))
+        bands.append(launch(scene, bvh, camera, launch_index,
+                            jnp.uint32(row)))
+        row += band_rows
+    out = bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=0)
+    return out, delivered
 
 
 class ShardedRenderer:
@@ -149,12 +164,13 @@ class ShardedRenderer:
         from tpurt import film
 
         cfg = self.r.config
-        spp_per = self.mesh.shape["spp"]
+        spp_per = self.mesh.shape["spp"] * cfg.spp_per_launch
         launch_index = self.r.sample_count // spp_per
         radiance, delivered = render_sample_sharded(
             self.r.device_scene, self.r.bvh, self.r.camera, launch_index,
             self.mesh, width=cfg.width, height=cfg.height, cfg=cfg,
-            has_alpha=self.r.has_alpha,
+            has_alpha=self.r.has_alpha, chunk_rows=cfg.chunk_rows,
+            tex_flags=self.r.tex_flags,
         )
         # one launch = `delivered` samples; running average over launches
         n_launches = launch_index + 1

@@ -22,6 +22,7 @@ from tpurt.bvh import build_triangle_bvh
 from tpurt.camera import Camera
 from tpurt.config import RenderConfig, SphereLight
 from tpurt.integrator import render_sample
+from tpurt.runtime import FramePacer
 from tpurt.scene import DeviceScene, SceneData, build_device_scene, camera_for_render
 from tpurt.scene.gltf import load_gltf
 
@@ -50,24 +51,31 @@ class Renderer:
             for t in (mats.tex_albedo, mats.tex_mr, mats.tex_normal,
                       mats.tex_emissive)
         )
-        from tpurt.kernels.pallas_traverse import pick_group_size
+        from tpurt.kernels.pallas_wide import pick_group_size_wide
 
-        group_size = pick_group_size(int(self.device_scene.tri_pos.shape[0]))
+        group_size = pick_group_size_wide(int(self.device_scene.tri_pos.shape[0]))
         # smallest leaf group whose kernel tables fit VMEM (fat leaves trace
         # slower: bloated AABBs multiply false-positive leaf entries)
         self.bvh = build_triangle_bvh(self.device_scene.tri_pos,
                                       group_size=group_size)
         # on TPU, upgrade to the Pallas packet-traversal structure when the
-        # packed scene fits the VMEM budget (kernels/pallas_traverse.py)
+        # packed scene fits the VMEM budget: the wide (8-ary) kernel
+        # (kernels/pallas_wide.py) by preference, the binary rope kernel
+        # (kernels/pallas_traverse.py) as fallback
         if jax.default_backend() not in ("cpu",):
             from tpurt.kernels.pallas_traverse import (
                 kernel_supported, make_kernel_bvh)
+            from tpurt.kernels.pallas_wide import (
+                make_wide_kernel_bvh, wide_supported)
 
-            if kernel_supported(self.bvh, self.device_scene.tri_pos):
+            mask = (self.device_scene.tri_alpha_mask
+                    if self.has_alpha else None)
+            if wide_supported(self.bvh):
+                self.bvh = make_wide_kernel_bvh(
+                    self.bvh, self.device_scene.tri_pos, tri_alpha_mask=mask)
+            elif kernel_supported(self.bvh, self.device_scene.tri_pos):
                 self.bvh = make_kernel_bvh(
-                    self.bvh, self.device_scene.tri_pos,
-                    tri_alpha_mask=(self.device_scene.tri_alpha_mask
-                                    if self.has_alpha else None))
+                    self.bvh, self.device_scene.tri_pos, tri_alpha_mask=mask)
         self.reset()
 
     @classmethod
@@ -88,6 +96,13 @@ class Renderer:
         self.sample_count = 0
         self.sample_time = 0.0
         self._converged_reported = False
+        # frames-in-flight ring (Config.hpp:7, RayTracingDevice.cpp:418-419):
+        # JAX dispatch is async, so `step()` only enqueues device work and the
+        # pacer blocks when >3 launches are outstanding — launches overlap
+        # with host-side Python instead of serializing on block_until_ready
+        self._pacer = FramePacer()
+        self._wall_start: Optional[float] = None
+        self._time_base = 0.0
 
     def set_camera(self, camera: Camera) -> None:
         """Any camera change resets accumulation (Raytracer.cpp:184,196-227)."""
@@ -100,12 +115,10 @@ class Renderer:
         raytrace.rgen:33). Returns the current accumulation buffer."""
         cfg = self.config
         if self.sample_count >= cfg.max_samples:
-            if not self._converged_reported:
-                # parity with Raytracer.cpp:251
-                print("Max. sample count reached. Time=%f s" % self.sample_time)
-                self._converged_reported = True
+            self._finish()
             return self.accum
-        t0 = time.perf_counter()
+        if self._wall_start is None:
+            self._wall_start = time.perf_counter()
         spp = cfg.spp_per_launch
         launch_index = self.sample_count // spp
         radiance = render_sample(
@@ -124,9 +137,29 @@ class Renderer:
         # each launch contributes `spp` samples; the running average runs
         # over launches (mathematically identical to the per-sample mean)
         self.accum = film.accumulate(self.accum, radiance, launch_index + 1)
-        self.accum.block_until_ready()
-        self.sample_time += time.perf_counter() - t0
+        # async: block only when the in-flight ring is full (3 deep)
+        self._pacer.submit(self.accum)
+        self.sample_time = self._time_base + time.perf_counter() - self._wall_start
+        if self.sample_count >= cfg.max_samples:
+            self._finish()
         return self.accum
+
+    def drain(self) -> None:
+        """Wait for all in-flight launches and fold the elapsed span into
+        the sample timer (vkDeviceWaitIdle analogue)."""
+        self._pacer.drain()
+        if self._wall_start is not None:
+            self._time_base += time.perf_counter() - self._wall_start
+            self._wall_start = None
+            self.sample_time = self._time_base
+
+    def _finish(self) -> None:
+        """Drain in-flight launches, fix the convergence time, report once
+        (parity with Raytracer.cpp:251)."""
+        self.drain()
+        if not self._converged_reported:
+            print("Max. sample count reached. Time=%f s" % self.sample_time)
+            self._converged_reported = True
 
     def render(self, spp: Optional[int] = None, progress_every: int = 0) -> jnp.ndarray:
         """Accumulate `spp` samples (default: config.max_samples)."""
@@ -135,9 +168,10 @@ class Renderer:
             self.step()
             if progress_every and self.sample_count % progress_every == 0:
                 print(f"  {self.sample_count}/{target} spp, {self.sample_time:.2f}s")
-        if self.sample_count >= self.config.max_samples and not self._converged_reported:
-            print("Max. sample count reached. Time=%f s" % self.sample_time)
-            self._converged_reported = True
+        if self.sample_count >= self.config.max_samples:
+            self._finish()
+        else:
+            self.drain()
         return self.accum
 
     # ---- output & checkpoint -------------------------------------------

@@ -72,7 +72,10 @@ class DeviceScene(NamedTuple):
     # cutoff, so the traversal kernel can reject the hit without a texture
     # tap). 0 for non-alpha-tested triangles. Exact-conservative: mixed
     # cells stay 0 and fall through to the XLA re-trace test.
-    tri_alpha_mask: jnp.ndarray  # (T,) i32 (values < 2^16)
+    # Bit 16 marks triangles whose alpha test can actually reject (alpha
+    # tested AND a real albedo texture): the occlusion kernel treats hits
+    # on unmarked triangles as DEFINITE blockers and early-exits the ray.
+    tri_alpha_mask: jnp.ndarray  # (T,) i32 (values < 2^17)
     materials: Materials
     atlas: jnp.ndarray        # (AH, AW, 4) uint8
     tex_table: jnp.ndarray    # (NT, 8) i32: x, y, w, h, wrap_s, wrap_t, filter, srgb
@@ -364,6 +367,11 @@ def build_device_scene(
 
     tri_alpha_mask = _alpha_cell_masks(tri_alpha, tri_uv, tri_mat, materials,
                                        atlas, tex_table)
+    # bit 16: the triangle's alpha test can reject (tested + real texture);
+    # hits on triangles WITHOUT this bit are definite occluders in the
+    # occlusion kernel (no texture recheck needed)
+    tex_valid = (np.asarray(materials.tex_albedo)[mats_np] != NO_TEXTURE)
+    tri_alpha_mask = tri_alpha_mask | ((tri_alpha & tex_valid).astype(np.int32) << 16)
 
     return DeviceScene(
         tri_pos=jnp.asarray(tri_pos),

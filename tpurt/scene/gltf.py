@@ -151,21 +151,45 @@ class _GLTFFile:
     def accessor_array(self, accessor_index: int) -> np.ndarray:
         """Decode an accessor to (count, ncomp) with native dtype.
 
-        Handles byteStride (interleaved) views. Sparse accessors are not
-        supported (the reference's cgltf_load_buffers would have applied
-        them; none of the target sample scenes use sparse)."""
+        Handles byteStride (interleaved) views and sparse accessors
+        (substitution applied over the base view — or zeros when the
+        accessor has no bufferView — matching cgltf_load_buffers semantics,
+        the reference's decode path at ModelLoader.cpp:753-781)."""
         acc = self.json["accessors"][accessor_index]
-        if "sparse" in acc:
-            raise NotImplementedError("sparse accessors are not supported")
         count = acc["count"]
         ncomp = _TYPE_COUNTS[acc["type"]]
         dtype = _COMPONENT_DTYPES[acc["componentType"]]
-        itemsize = np.dtype(dtype).itemsize
         if "bufferView" not in acc:
-            return np.zeros((count, ncomp), dtype)
-        view = self.json["bufferViews"][acc["bufferView"]]
+            base = np.zeros((count, ncomp), dtype)
+        else:
+            base = self._decode_view(acc["bufferView"], acc.get("byteOffset", 0),
+                                     count, ncomp, dtype)
+        if "sparse" in acc:
+            sp = acc["sparse"]
+            n = sp["count"]
+            idx_spec = sp["indices"]
+            idx_dtype = _COMPONENT_DTYPES[idx_spec["componentType"]]
+            idx = self._decode_view(idx_spec["bufferView"],
+                                    idx_spec.get("byteOffset", 0), n, 1,
+                                    idx_dtype).reshape(-1).astype(np.int64)
+            val_spec = sp["values"]
+            vals = self._decode_view(val_spec["bufferView"],
+                                     val_spec.get("byteOffset", 0), n, ncomp,
+                                     dtype)
+            if idx.size and (idx.min() < 0 or idx.max() >= count):
+                raise ValueError("sparse accessor index out of range")
+            base = base.copy()
+            base[idx] = vals
+        return base
+
+    def _decode_view(self, view_index: int, acc_offset: int, count: int,
+                     ncomp: int, dtype) -> np.ndarray:
+        """Decode (count, ncomp) elements from a bufferView (byteStride
+        aware; native C fast path for packed f32)."""
+        itemsize = np.dtype(dtype).itemsize
+        view = self.json["bufferViews"][view_index]
         data = self.buffer(view["buffer"])
-        start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        start = view.get("byteOffset", 0) + acc_offset
         stride = view.get("byteStride", ncomp * itemsize)
         if stride == ncomp * itemsize:
             arr = np.frombuffer(data, dtype, count=count * ncomp, offset=start)

@@ -53,6 +53,9 @@ class ViewerState:
         self.renderer = renderer
         self.lock = threading.Lock()
         self.running = True
+        # camera generation: bumped on every camera change so the render
+        # loop can detect a mid-step move and discard the stale launch
+        self.gen = 0
         # viewer-local exposure (changing RenderConfig would recompile the
         # render step; tonemap happens host-side anyway)
         self.exposure = float(renderer.config.exposure)
@@ -107,16 +110,20 @@ class ViewerState:
             else:
                 return
             r.set_camera(cam)  # resets accumulation (reference semantics)
+            self.gen += 1
 
     def frame_png(self) -> bytes:
         from PIL import Image
 
         from tpurt import film
 
-        with self.lock:
-            mapped = film.to_srgb8(
-                np.asarray(film.tonemap(self.renderer.accum, self.exposure))
-            )[..., :3]
+        # no lock: jnp arrays are immutable, so snapshotting the accum
+        # REFERENCE is atomic (GIL) and tonemapping it race-free — frame
+        # requests never stall behind a device launch in the render loop
+        accum = self.renderer.accum
+        mapped = film.to_srgb8(
+            np.asarray(film.tonemap(accum, self.exposure))
+        )[..., :3]
         buf = io.BytesIO()
         Image.fromarray(mapped, "RGB").save(buf, format="PNG")
         return buf.getvalue()
@@ -129,10 +136,18 @@ class ViewerState:
     def render_loop(self):
         while self.running:
             with self.lock:
+                gen0 = self.gen
                 busy = self.renderer.sample_count < self.renderer.config.max_samples
-                if busy:
-                    self.renderer.step()
-            if not busy:
+            if busy:
+                # device compute runs OUTSIDE the lock so /frame.png and key
+                # handling stay responsive during multi-second launches
+                self.renderer.step()
+                with self.lock:
+                    if self.gen != gen0:
+                        # camera moved mid-step: the launch used the old
+                        # camera — discard it (reference reset semantics)
+                        self.renderer.reset()
+            else:
                 time.sleep(0.1)
 
 
