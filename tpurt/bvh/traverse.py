@@ -231,10 +231,13 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
     return Hit(t=t, kind=kind, prim=prim, u=u, v=v)
 
 
-def _octant_morton_perm(kbvh, o, d, active):
+def _octant_morton_perm(kbvh, o, d, active, ray_class=None):
     """Sort key grouping rays into octant-pure, origin-coherent packets
     (inactive rays sort to the back so whole packets retire instantly).
-    Returns (perm, inverse perm)."""
+    `ray_class` (values 0/1), when given, is the TOP key bit: it keeps
+    behaviorally different ray populations (e.g. distance-bounded light
+    rays vs escape-prone envmap rays) in separate packets, so early-exit
+    packets actually retire early. Returns (perm, inverse perm)."""
     from tpurt.bvh.lbvh import morton3
 
     octant = (
@@ -247,13 +250,15 @@ def _octant_morton_perm(kbvh, o, d, active):
     extent = jnp.maximum(root_hi - root_lo, 1e-20)
     m = morton3((o - root_lo) / extent).astype(jnp.int32)
     key = (octant << jnp.int32(27)) | (m >> jnp.int32(3))
-    key = jnp.where(active, key, jnp.int32(2 ** 30))
+    if ray_class is not None:
+        key = key | (ray_class.astype(jnp.int32) << jnp.int32(30))
+    key = jnp.where(active, key, jnp.int32(0x7FFFFFFF))
     perm = jnp.argsort(key, stable=True)
     return perm, jnp.argsort(perm)
 
 
 def occlusion_hit(kbvh, o, d, t_min, t_limit, active, scene_has_alpha: bool,
-                  sort_rays=True, interpret=False):
+                  sort_rays=True, interpret=False, ray_class=None):
     """Occlusion query via the packet kernel (KernelBVH only; the XLA
     fallback path emulates occlusion with a closest-hit trace in the
     integrator). Returns (blocked (N,) bool, Hit of the closest accepted
@@ -270,7 +275,7 @@ def occlusion_hit(kbvh, o, d, t_min, t_limit, active, scene_has_alpha: bool,
     if active is None:
         active = jnp.ones(n, bool)
     if sort_rays and n > 2048:
-        perm, inv = _octant_morton_perm(kbvh, o, d, active)
+        perm, inv = _octant_morton_perm(kbvh, o, d, active, ray_class)
         blocked, t, prim, u, v = occlusion_packets(
             kbvh, o[perm], d[perm], t_min[perm], t_limit[perm], active[perm],
             scene_has_alpha, interpret=interpret)

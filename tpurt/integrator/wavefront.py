@@ -64,6 +64,12 @@ from tpurt.scene.types import NO_TEXTURE
 
 MAX_WAVES = 8  # camera hit + up to 7 bounces (recursion cap, PipelineBuilder.cpp:172)
 
+# measured sort policy (TPU, 320x240 interior): sorting re-traced/secondary
+# batches compacts live rays into few packets, but argsort itself costs ~ms
+# per launch — each site is toggled by what benchmarks showed actually wins
+SORT_WAVE0 = False           # camera rays: row-major is coherent enough
+SORT_RETRACE = False         # alpha re-trace loops (closest + occlusion)
+
 
 def _alpha_rejected(scene, h: Hit, mask) -> jnp.ndarray:
     """Exact any-hit alpha test for committed hits (raytrace.rahit:53-58):
@@ -116,12 +122,10 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
     def body(state):
         i, h, t_min, rej = state
         t_min = jnp.where(rej, h.t * (1.0 + 1e-6) + 1e-5, t_min)
-        # re-traces cover the few alpha-rejected rays: sorting the whole
-        # batch again costs more than the walk saves
         nh = closest_hit(
             bvh, scene.tri_pos, scene.lights, o, d, t_min, cfg.t_max,
             include_spheres=include_spheres, active=active & rej,
-            sort_rays=False,
+            sort_rays=SORT_RETRACE,
         )
         h = Hit(
             t=jnp.where(rej, nh.t, h.t),
@@ -172,8 +176,13 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
     t_limit = jnp.where(s_hit, s_t, cfg.t_max)
 
     if isinstance(bvh, (KernelBVH, WideKernelBVH)):
+        # the caller fuses light-sample rays (distance-bounded, retire
+        # fast) and BSDF/envmap rays (escape-prone, walk far) into one
+        # batch: the class bit keeps them in SEPARATE packets so the
+        # early-exit packets actually retire early
+        ray_class = (jnp.arange(n) >= (n // 2)).astype(jnp.int32)
         blocked, hit = occlusion_hit(bvh, o, d, t_min0, t_limit, active,
-                                     has_alpha)
+                                     has_alpha, ray_class=ray_class)
         if has_alpha:
             # exact alpha recheck of uncertain (alpha-testable) hits, with
             # occlusion re-trace past texture-rejected ones — the any-hit
@@ -190,7 +199,7 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
                 i, blocked, hit, t_min, rej = state
                 t_min = jnp.where(rej, hit.t * (1.0 + 1e-6) + 1e-5, t_min)
                 b2, h2 = occlusion_hit(bvh, o, d, t_min, t_limit, rej,
-                                       has_alpha, sort_rays=False)
+                                       has_alpha, sort_rays=SORT_RETRACE)
                 hit = Hit(
                     t=jnp.where(rej, h2.t, hit.t),
                     kind=jnp.where(rej, h2.kind, hit.kind),
@@ -269,10 +278,9 @@ def trace_paths(
          active) = carry
         include_spheres = wave_idx > 0  # static python bool per unrolled wave
 
-        # camera packets (wave 0) are already tile-coherent; later waves
-        # benefit from (octant, origin-morton) sorting
         hit = _trace(scene, bvh, o, d, jnp.zeros(n), active, include_spheres,
-                     cfg, has_alpha, sort_rays=bool(wave_idx))
+                     cfg, has_alpha,
+                     sort_rays=bool(wave_idx) or SORT_WAVE0)
 
         is_tri = active & (hit.kind == KIND_TRIANGLE)
         rays_traced = rays_traced + jnp.sum(active) + 2.0 * jnp.sum(is_tri)

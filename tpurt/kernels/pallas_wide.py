@@ -236,46 +236,51 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
     stack_ref[0] = jnp.int32(0)  # wide root
 
-    # branch-free body: Mosaic legalizes predicated vector selects far more
-    # reliably than lax.cond over mixed scalar/vector carries, and the
-    # always-executed node+leaf work is cheap vector ALU on an otherwise
-    # latency-bound loop. `blocked` rides the carry as f32 (i1 vector
-    # yields fail to legalize).
+    # the pop dispatch avoids lax.cond over MIXED scalar/vector carries
+    # (those yields fail to legalize in Mosaic): the node path's vector
+    # work runs under a cond with a scalar-only result (the hitmask), the
+    # leaf path under a cond with vector-only carries (the binary kernel's
+    # proven pattern), and stack pushes are pl.when-predicated scalar
+    # stores. `blocked` rides the carry as f32 (i1 vector yields fail too).
     def body(carry):
         sp, t_best, prim, uu, vv, blocked = carry
         active = act0 if not occlusion else act0 & (blocked == 0.0)
         sp = sp - 1
         entry = stack_ref[sp]
         is_node = entry >= 0
-
-        # ---- node path (predicated on is_node) --------------------------
         row = nb_ref[0, jnp.maximum(entry, 0)]
-        # pack per-slot packet hits as bits of ONE i32 vector
-        hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
-        for s in range(8):
-            b = s * 6
-            t0x = (row[_BOX0 + b + 0] - ox) * inv_x
-            t0y = (row[_BOX0 + b + 1] - oy) * inv_y
-            t0z = (row[_BOX0 + b + 2] - oz) * inv_z
-            t1x = (row[_BOX0 + b + 3] - ox) * inv_x
-            t1y = (row[_BOX0 + b + 4] - oy) * inv_y
-            t1z = (row[_BOX0 + b + 5] - oz) * inv_z
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                         jnp.minimum(t0y, t1y)),
-                             jnp.maximum(jnp.minimum(t0z, t1z), t_min))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                         jnp.maximum(t0y, t1y)),
-                             jnp.minimum(jnp.maximum(t0z, t1z), t_best))
-            hit_s = (tn <= tf) & active
-            hitbits = hitbits | jnp.where(hit_s, jnp.int32(1 << s),
-                                          jnp.int32(0))
-        # collapse to one scalar 8-bit hitmask with log2 OR-rotations
-        # (ONE vector->scalar transfer per step, like the binary kernel)
-        for shift in (4, 2, 1):
-            hitbits = hitbits | pltpu.roll(hitbits, shift, 0)
-        for shift in (64, 32, 16, 8, 4, 2, 1):
-            hitbits = hitbits | pltpu.roll(hitbits, shift, 1)
-        mask_scalar = jnp.where(is_node, hitbits[0, 0], 0)
+
+        # ---- node path: 8 slot tests -> one scalar hitmask --------------
+        def node_mask(_):
+            # pack per-slot packet hits as bits of ONE i32 vector
+            hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
+            for s in range(8):
+                b = s * 6
+                t0x = (row[_BOX0 + b + 0] - ox) * inv_x
+                t0y = (row[_BOX0 + b + 1] - oy) * inv_y
+                t0z = (row[_BOX0 + b + 2] - oz) * inv_z
+                t1x = (row[_BOX0 + b + 3] - ox) * inv_x
+                t1y = (row[_BOX0 + b + 4] - oy) * inv_y
+                t1z = (row[_BOX0 + b + 5] - oz) * inv_z
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+                hit_s = (tn <= tf) & active
+                hitbits = hitbits | jnp.where(hit_s, jnp.int32(1 << s),
+                                              jnp.int32(0))
+            # collapse to one scalar 8-bit hitmask with log2 OR-rotations
+            # (ONE vector->scalar transfer, like the binary kernel)
+            for shift in (4, 2, 1):
+                hitbits = hitbits | pltpu.roll(hitbits, shift, 0)
+            for shift in (64, 32, 16, 8, 4, 2, 1):
+                hitbits = hitbits | pltpu.roll(hitbits, shift, 1)
+            return hitbits[0, 0]
+
+        mask_scalar = jax.lax.cond(is_node, node_mask,
+                                   lambda _: jnp.int32(0), None)
 
         # push far slots first (slots pre-sorted near-to-far per octant);
         # kind == 0 gates EMPTY slots — their inverted placeholder box does
@@ -293,24 +298,30 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
             sp = sp + do_push.astype(jnp.int32)
 
-        # ---- leaf path (predicated on ~is_node) -------------------------
-        leaf = jnp.maximum(-entry - 1, 0)
-        lrow = tr_ref[leaf]
-        lactive = active & jnp.logical_not(is_node)
-        for k in range(group):
-            t_best, prim, uu, vv, hit, testable = _tri_test(
-                lrow, k, t_min, t_best, prim, uu, vv, leaf, lactive,
-                ox, oy, oz, dx, dy, dz, group, use_masks)
-            if occlusion:
-                if use_masks:
-                    definite = hit & jnp.logical_not(testable)
-                elif all_definite:
-                    definite = hit
-                else:
-                    definite = None
-                if definite is not None:
-                    blocked = jnp.maximum(
-                        blocked, jnp.where(definite, 1.0, 0.0))
+        # ---- leaf path: G triangle tests (cond-gated vector carries) ----
+        def leaf_fn(args):
+            t_best, prim, uu, vv, blocked = args
+            leaf = -entry - 1
+            lrow = tr_ref[leaf]
+            for k in range(group):
+                t_best, prim, uu, vv, hit, testable = _tri_test(
+                    lrow, k, t_min, t_best, prim, uu, vv, leaf, active,
+                    ox, oy, oz, dx, dy, dz, group, use_masks)
+                if occlusion:
+                    if use_masks:
+                        definite = hit & jnp.logical_not(testable)
+                    elif all_definite:
+                        definite = hit
+                    else:
+                        definite = None
+                    if definite is not None:
+                        blocked = jnp.maximum(
+                            blocked, jnp.where(definite, 1.0, 0.0))
+            return t_best, prim, uu, vv, blocked
+
+        t_best, prim, uu, vv, blocked = jax.lax.cond(
+            jnp.logical_not(is_node), leaf_fn, lambda a: a,
+            (t_best, prim, uu, vv, blocked))
 
         return sp, t_best, prim, uu, vv, blocked
 
