@@ -47,6 +47,11 @@ def _parse_light(s):
 def build_parser():
     p = argparse.ArgumentParser(prog="tpurt", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the JAX platform (some TPU plugins force-"
+                        "select themselves, so JAX_PLATFORMS alone is "
+                        "ignored; this applies jax.config before any "
+                        "device is touched)")
     sub = p.add_subparsers(dest="command", required=True)
 
     r = sub.add_parser("render", help="render glTF scene(s) to PNG")
@@ -279,6 +284,10 @@ def cmd_view(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.command == "render":
         return cmd_render(args)
     if args.command == "info":

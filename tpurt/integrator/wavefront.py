@@ -58,7 +58,7 @@ from tpurt.config import RenderConfig
 from tpurt.kernels import bsdf as B
 from tpurt.kernels.intersect import Hit, KIND_MISS, KIND_SPHERE, KIND_TRIANGLE
 from tpurt.kernels.lights import pdf_sphere, sample_hemisphere_uniform, sample_sphere
-from tpurt.kernels.texture import sample_texture, sample_texture_alpha_nearest
+from tpurt.kernels.texture import sample_texture_alpha_quad, sample_texture_quad
 from tpurt.scene.device import DeviceScene
 from tpurt.scene.types import NO_TEXTURE
 
@@ -85,8 +85,8 @@ def _alpha_rejected(scene, h: Hit, mask) -> jnp.ndarray:
         uv_u = w0 * row[:, 3] + h.u * row[:, 5] + h.v * row[:, 7]
         uv_v = w0 * row[:, 4] + h.u * row[:, 6] + h.v * row[:, 8]
         tex = row[:, 2].astype(jnp.int32)
-        a = sample_texture_alpha_nearest(scene.atlas, scene.tex_table, tex,
-                                         uv_u, uv_v)
+        a = sample_texture_alpha_quad(scene.atlas_quad, scene.tex_table, tex,
+                                      uv_u, uv_v)
         a = jnp.where(tex == NO_TEXTURE, 1.0, a)
         return tested & (a < row[:, 1])
 
@@ -137,7 +137,9 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
         rej = alpha_rejected(h, rej)  # only re-traced rays can be rejected
         return i + 1, h, t_min, rej
 
-    _, hit, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), hit, t_min0, rej0))
+    with jax.named_scope("alpha_retrace"):
+        _, hit, _, _ = jax.lax.while_loop(cond, body,
+                                          (jnp.int32(0), hit, t_min0, rej0))
     return hit
 
 
@@ -166,9 +168,10 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
     n = o.shape[0]
     t_min0 = jnp.zeros(n)
     if scene.num_lights > 0:
-        s_hit, s_t, s_id = intersect_spheres(o, d, scene.lights, t_min0,
-                                             cfg.t_max)
-        s_hit = s_hit & active
+        with jax.named_scope("shadow_spheres"):
+            s_hit, s_t, s_id = intersect_spheres(o, d, scene.lights, t_min0,
+                                                 cfg.t_max)
+            s_hit = s_hit & active
     else:
         s_hit = jnp.zeros(n, bool)
         s_t = jnp.full(n, cfg.t_max, jnp.float32)
@@ -212,8 +215,9 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
                 blocked = blocked | (rej & b2) | (unc2 & ~rej2)
                 return i + 1, blocked, hit, t_min, rej2
 
-            _, blocked, hit, _, rej = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), blocked, hit, t_min0, rej))
+            with jax.named_scope("occl_recheck"):
+                _, blocked, hit, _, rej = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), blocked, hit, t_min0, rej))
             # re-trace cap reached: parity with _trace, which leaves the
             # rejected hit committed (treated as a surface -> black)
             blocked = blocked | rej
@@ -225,6 +229,8 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
         blocked = active & (hit.kind == KIND_TRIANGLE) & (hit.t <= t_limit)
 
     # payload protocol (sphere.rchit:18-19 / rmiss:11 / triangle.rchit:114)
+    payload_scope = jax.named_scope("shadow_payload")
+    payload_scope.__enter__()
     sky = jnp.asarray(cfg.sky_color, jnp.float32)
     if scene.num_lights > 0:
         light = scene.lights[jnp.clip(s_id, 0, scene.num_lights - 1)]
@@ -237,6 +243,7 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
     rgb = jnp.where(blocked[:, None], 0.0,
                     jnp.where(hit_sphere[:, None], light_rgb, sky_rgb))
     a = jnp.where(blocked, 1.0, jnp.where(hit_sphere, 0.0, -4.0))
+    payload_scope.__exit__(None, None, None)
     return rgb, a, is_miss
 
 
@@ -278,9 +285,10 @@ def trace_paths(
          active) = carry
         include_spheres = wave_idx > 0  # static python bool per unrolled wave
 
-        hit = _trace(scene, bvh, o, d, jnp.zeros(n), active, include_spheres,
-                     cfg, has_alpha,
-                     sort_rays=bool(wave_idx) or SORT_WAVE0)
+        with jax.named_scope("trace_closest"):
+            hit = _trace(scene, bvh, o, d, jnp.zeros(n), active,
+                         include_spheres, cfg, has_alpha,
+                         sort_rays=bool(wave_idx) or SORT_WAVE0)
 
         is_tri = active & (hit.kind == KIND_TRIANGLE)
         rays_traced = rays_traced + jnp.sum(active) + 2.0 * jnp.sum(is_tri)
@@ -295,106 +303,123 @@ def trace_paths(
         # sphere hits at wave>0 contribute 0 (alpha code 0) and terminate
 
         # ---- gather hit attributes ------------------------------------
-        prim = jnp.clip(hit.prim, 0, scene.tri_pos.shape[0] - 1)
-        mat = scene.tri_mat[prim]
-        w_bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)[..., None]
-        uv = jnp.sum(w_bary * scene.tri_uv[prim], axis=1)
-        normal = jnp.sum(w_bary * scene.tri_normal[prim], axis=1)
-        normal = normal / jnp.maximum(
-            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
-        if tex_flags[2]:  # tangents feed only the normal-mapping TBN
-            tangent4 = jnp.sum(w_bary * scene.tri_tangent[prim], axis=1)
-            tangent = tangent4[:, :3] / jnp.maximum(
-                jnp.linalg.norm(tangent4[:, :3], axis=-1, keepdims=True), 1e-20)
+        # ONE fat row gather per shaded ray (DeviceScene.tri_shade_row):
+        # uv/normal/tangent vertices + the hit material's factors and
+        # texture ids, replacing ~12 separate gathers (scalar-path 1-D
+        # gathers cost ~8 ns/element on v5e; the row gather rides DMA)
+        with jax.named_scope("shade_attrs"):
+            prim = jnp.clip(hit.prim, 0, scene.tri_pos.shape[0] - 1)
+            srow = scene.tri_shade_row[prim]
+            w_bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v],
+                               axis=-1)[..., None]
+            uv = jnp.sum(w_bary * srow[:, 0:6].reshape(-1, 3, 2), axis=1)
+            normal = jnp.sum(w_bary * srow[:, 6:15].reshape(-1, 3, 3), axis=1)
+            normal = normal / jnp.maximum(
+                jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
+            if tex_flags[2]:  # tangents feed only the normal-mapping TBN
+                tangent4 = jnp.sum(w_bary * srow[:, 15:27].reshape(-1, 3, 4),
+                                   axis=1)
+                tangent = tangent4[:, :3] / jnp.maximum(
+                    jnp.linalg.norm(tangent4[:, :3], axis=-1, keepdims=True),
+                    1e-20)
 
-        hit_point = o + hit.t[:, None] * d
+            hit_point = o + hit.t[:, None] * d
+            mat_emissive = srow[:, 32:35]
 
-        m = scene.materials
-        albedo = m.albedo_scale[mat][:, :3]
-        if tex_flags[0]:
-            tex_a = m.tex_albedo[mat]
-            texel_a = sample_texture(scene.atlas, scene.tex_table, tex_a,
-                                     uv[:, 0], uv[:, 1])
-            albedo = jnp.where((tex_a != NO_TEXTURE)[:, None],
-                               albedo * texel_a[:, :3], albedo)  # triangle.rchit:161-163
+        with jax.named_scope("textures"):
+            albedo = srow[:, 27:30]
+            if tex_flags[0]:
+                tex_a = srow[:, 35].astype(jnp.int32)
+                texel_a = sample_texture_quad(scene.atlas_quad,
+                                              scene.tex_table, tex_a,
+                                              uv[:, 0], uv[:, 1])
+                albedo = jnp.where((tex_a != NO_TEXTURE)[:, None],
+                                   albedo * texel_a[:, :3], albedo)  # triangle.rchit:161-163
 
-        # normal mapping via TBN (triangle.rchit:166-171)
-        shading_n = normal
-        if tex_flags[2]:
-            tex_n = m.tex_normal[mat]
-            nf = m.normal_factor[mat]
-            texel_n = sample_texture(scene.atlas, scene.tex_table, tex_n,
-                                     uv[:, 0], uv[:, 1])
-            nm = (texel_n[:, :3] * 2.0 - 1.0) * nf[:, None]
-            bitangent = jnp.cross(normal, tangent) * tangent4[:, 3:4]
-            mapped = (nm[:, 0:1] * tangent + nm[:, 1:2] * bitangent
-                      + nm[:, 2:3] * normal)
-            mapped = mapped / jnp.maximum(
-                jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20)
-            use_nm = (tex_n != NO_TEXTURE) & (jnp.abs(nf) > 0.001)
-            shading_n = jnp.where(use_nm[:, None], mapped, normal)
+            # normal mapping via TBN (triangle.rchit:166-171)
+            shading_n = normal
+            if tex_flags[2]:
+                tex_n = srow[:, 37].astype(jnp.int32)
+                nf = srow[:, 31]
+                texel_n = sample_texture_quad(scene.atlas_quad,
+                                              scene.tex_table, tex_n,
+                                              uv[:, 0], uv[:, 1])
+                nm = (texel_n[:, :3] * 2.0 - 1.0) * nf[:, None]
+                bitangent = jnp.cross(normal, tangent) * tangent4[:, 3:4]
+                mapped = (nm[:, 0:1] * tangent + nm[:, 1:2] * bitangent
+                          + nm[:, 2:3] * normal)
+                mapped = mapped / jnp.maximum(
+                    jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20)
+                use_nm = (tex_n != NO_TEXTURE) & (jnp.abs(nf) > 0.001)
+                shading_n = jnp.where(use_nm[:, None], mapped, normal)
 
-        # emissive (triangle.rchit:175-178)
-        emissive = m.emissive[mat][:, :3] * cfg.emissive_untextured_scale
-        if tex_flags[3]:
-            tex_e = m.tex_emissive[mat]
-            texel_e = sample_texture(scene.atlas, scene.tex_table, tex_e,
-                                     uv[:, 0], uv[:, 1])
-            emissive = jnp.where(
-                (tex_e != NO_TEXTURE)[:, None],
-                texel_e[:, :3] * m.emissive[mat][:, :3],
-                emissive,
-            )
+            # emissive (triangle.rchit:175-178)
+            emissive = mat_emissive * cfg.emissive_untextured_scale
+            if tex_flags[3]:
+                tex_e = srow[:, 38].astype(jnp.int32)
+                texel_e = sample_texture_quad(scene.atlas_quad,
+                                              scene.tex_table, tex_e,
+                                              uv[:, 0], uv[:, 1])
+                emissive = jnp.where(
+                    (tex_e != NO_TEXTURE)[:, None],
+                    texel_e[:, :3] * mat_emissive,
+                    emissive,
+                )
 
-        # roughness * metallicRoughness texture green channel (:180-184)
-        roughness = m.roughness[mat]
-        if tex_flags[1]:
-            tex_mr = m.tex_mr[mat]
-            texel_mr = sample_texture(scene.atlas, scene.tex_table, tex_mr,
-                                      uv[:, 0], uv[:, 1])
-            roughness = roughness * jnp.where(tex_mr != NO_TEXTURE,
-                                              texel_mr[:, 1], 1.0)
-        alpha = B.roughness_to_alpha(roughness)
+            # roughness * metallicRoughness texture green channel (:180-184)
+            roughness = srow[:, 30]
+            if tex_flags[1]:
+                tex_mr = srow[:, 36].astype(jnp.int32)
+                texel_mr = sample_texture_quad(scene.atlas_quad,
+                                               scene.tex_table, tex_mr,
+                                               uv[:, 0], uv[:, 1])
+                roughness = roughness * jnp.where(tex_mr != NO_TEXTURE,
+                                                  texel_mr[:, 1], 1.0)
+            alpha = B.roughness_to_alpha(roughness)
 
         local_l = emissive
 
         # ---- NEE sample 1: uniformly light-or-envmap (:64-87) ----------
-        state, u_pick = rng.next_rand(state)
-        light_idx = jnp.minimum((u_pick * (nl + 1)).astype(jnp.int32), nl)
-        pick_env = light_idx >= nl
-        state, u1, u2 = rng.next_uniform2(state)
-        if nl > 0:
-            lt = scene.lights[jnp.clip(light_idx, 0, nl - 1)]
-            dir_sphere = sample_sphere(hit_point, lt[:, :3], lt[:, 3], u1, u2)
-        else:
-            lt = jnp.zeros((n, 8), jnp.float32)
-            dir_sphere = jnp.zeros((n, 3), jnp.float32)
-        dir_hemi = sample_hemisphere_uniform(shading_n, u1, u2)
-        dir1 = jnp.where(pick_env[:, None], dir_hemi, dir_sphere)
+        with jax.named_scope("nee_sample"):
+            state, u_pick = rng.next_rand(state)
+            light_idx = jnp.minimum((u_pick * (nl + 1)).astype(jnp.int32), nl)
+            pick_env = light_idx >= nl
+            state, u1, u2 = rng.next_uniform2(state)
+            if nl > 0:
+                lt = scene.lights[jnp.clip(light_idx, 0, nl - 1)]
+                dir_sphere = sample_sphere(hit_point, lt[:, :3], lt[:, 3],
+                                           u1, u2)
+            else:
+                lt = jnp.zeros((n, 8), jnp.float32)
+                dir_sphere = jnp.zeros((n, 3), jnp.float32)
+            dir_hemi = sample_hemisphere_uniform(shading_n, u1, u2)
+            dir1 = jnp.where(pick_env[:, None], dir_hemi, dir_sphere)
 
-        nee_o = hit_point + cfg.ray_offset * shading_n
+            nee_o = hit_point + cfg.ray_offset * shading_n
 
-        # sample the BSDF-MIS direction now so both NEE rays trace as ONE
-        # fused 2N batch (halves the latency-bound per-iteration overheads
-        # of the traversal loop on TPU)
-        state, _dead = rng.next_rand(state)  # the overridden lightIndex draw
-        state, u3, u4 = rng.next_uniform2(state)
-        wo = -d
-        al_b = jnp.maximum(alpha, 0.01)
-        micro_n = B.sample_microfacet_distribution(wo, shading_n, al_b, u3, u4)
-        micro_n = jnp.where((alpha > 0.0)[:, None], micro_n, shading_n)
-        dir2 = B.reflect(d, micro_n)
+            # sample the BSDF-MIS direction now so both NEE rays trace as
+            # ONE fused 2N batch (halves the latency-bound per-iteration
+            # overheads of the traversal loop on TPU)
+            state, _dead = rng.next_rand(state)  # the overridden lightIndex draw
+            state, u3, u4 = rng.next_uniform2(state)
+            wo = -d
+            al_b = jnp.maximum(alpha, 0.01)
+            micro_n = B.sample_microfacet_distribution(wo, shading_n, al_b,
+                                                       u3, u4)
+            micro_n = jnp.where((alpha > 0.0)[:, None], micro_n, shading_n)
+            dir2 = B.reflect(d, micro_n)
 
         # both NEE rays resolve as ONE fused 2N occlusion batch (shadow
         # payloads never read surface attributes, triangle.rchit:114-117)
-        rgb12, a12, miss12 = _trace_shadow(
-            scene, bvh,
-            jnp.concatenate([nee_o, nee_o]),
-            jnp.concatenate([dir1, dir2]),
-            jnp.concatenate([is_tri, is_tri]),
-            jnp.concatenate([throughput, throughput]),
-            cfg, has_alpha,
-        )
+        with jax.named_scope("trace_shadow"):
+            rgb12, a12, miss12 = _trace_shadow(
+                scene, bvh,
+                jnp.concatenate([nee_o, nee_o]),
+                jnp.concatenate([dir1, dir2]),
+                jnp.concatenate([is_tri, is_tri]),
+                jnp.concatenate([throughput, throughput]),
+                cfg, has_alpha,
+            )
         rgb1, rgb2 = rgb12[:n], rgb12[n:]
         a1, a2 = a12[:n], a12[n:]
         # rmiss increments recursionDepth (raytrace.rmiss:10)
@@ -402,6 +427,8 @@ def trace_paths(
                  + miss12[n:].astype(jnp.int32))
 
         # weightLight (raytrace-common.glsl:51-62), alpha clamp 1e-5
+        mis_scope = jax.named_scope("mis_weights")
+        mis_scope.__enter__()
         al_l = jnp.maximum(alpha, 0.00001)
         bsdf_f1 = B.microfacet_bsdf(dir1, wo, shading_n, al_l,
                                     cfg.eta_i, cfg.eta_t)
@@ -454,8 +481,11 @@ def trace_paths(
         nee2 = w_bsdf[:, None] * rgb2
 
         local_l = local_l + (nee1 + nee2) * jnp.float32(nl + 1)  # :110
+        mis_scope.__exit__(None, None, None)
 
         # ---- bounce (triangle.rchit:192-218) ---------------------------
+        bounce_scope = jax.named_scope("bounce")
+        bounce_scope.__enter__()
         can_bounce = depth < cfg.max_depth
         depth = depth + is_tri.astype(jnp.int32)  # recursionDepth++ (:192)
 
@@ -491,6 +521,7 @@ def trace_paths(
         albedo_prod = jnp.where(cont[:, None], albedo_prod * albedo, albedo_prod)
         throughput = jnp.where(cont, t_new, throughput)
         active = cont
+        bounce_scope.__exit__(None, None, None)
 
         return (o, d, state, radiance, throughput, albedo_prod, depth,
                 rays_traced, active), None

@@ -58,7 +58,11 @@ class WideKernelBVH(NamedTuple):
 
     tribvh: TriBVH
     node_rows: jnp.ndarray  # (8, W, 128) f32, per-octant slot-sorted
-    tri_rows: jnp.ndarray   # (L, G*9 [+ G]) f32
+    # leaf rows: G*9 vertex lanes, then (if masks) G alpha-mask lanes,
+    # then G GLOBAL triangle ids (f32-exact for ids < 2^24): the kernel
+    # emits final prim ids, so the wrapper needs no tri_order remap (a
+    # 1-D gather costing ~1.1 ms per 150k rays on the XLA scalar path)
+    tri_rows: jnp.ndarray   # (L, G*9 [+ G] + G) f32
 
 
 def _binary_depths(left: np.ndarray, right: np.ndarray) -> np.ndarray:
@@ -119,7 +123,8 @@ def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
     group_size*9 <= 128 like the binary packer."""
     bvh = tribvh.bvh
     g = tribvh.group_size
-    assert g * 9 <= _LANE, f"group_size {g} does not fit a 128-lane leaf row"
+    assert g * 10 <= _LANE, \
+        f"group_size {g} does not fit a 128-lane leaf row (9 vertex + 1 id)"
     n_int = bvh.num_internal
     child_node, wide_of_binary = collapse_to_wide(tribvh)
     w = child_node.shape[0]
@@ -157,10 +162,15 @@ def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
 
     tri_sorted = tri_pos[tribvh.tri_order]
     tri_rows = tri_sorted.reshape(bvh.num_leaves, g * 9)
-    if tri_alpha_mask is not None and g * 10 <= _LANE:
+    if tri_alpha_mask is not None and g * 11 <= _LANE:
         masks = tri_alpha_mask[tribvh.tri_order].astype(jnp.float32)
         tri_rows = jnp.concatenate(
             [tri_rows, masks.reshape(bvh.num_leaves, g)], axis=1)
+    # global triangle ids per slot (always the LAST G lanes)
+    assert int(np.max(np.asarray(tribvh.tri_order), initial=0)) < (1 << 24), \
+        "leaf-row f32 id encoding requires < 2^24 triangles"
+    ids = jnp.asarray(tribvh.tri_order, jnp.float32).reshape(bvh.num_leaves, g)
+    tri_rows = jnp.concatenate([tri_rows, ids], axis=1)
     return jnp.asarray(rows), tri_rows
 
 
@@ -205,8 +215,12 @@ def _tri_test(row, k, t_min, t_best, prim, uu, vv, leaf, active,
         bit = jnp.right_shift(m_int, cu * 4 + cv) & 1
         hit = hit & (bit == 0)
         testable = (jnp.right_shift(m_int, 16) & 1) == 1
+    # the row's trailing G lanes carry GLOBAL triangle ids (f32-exact):
+    # committing them here saves the wrapper a scalar-path remap gather
+    id_base = group * 10 if use_masks else group * 9
+    tri_id = row[id_base + k].astype(jnp.int32)
     t_best = jnp.where(hit, t, t_best)
-    prim = jnp.where(hit, leaf * group + k, prim)
+    prim = jnp.where(hit, tri_id, prim)
     uu = jnp.where(hit, u, uu)
     vv = jnp.where(hit, v, vv)
     return t_best, prim, uu, vv, hit, testable
@@ -369,7 +383,7 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
         out_specs=[ray_spec] * 5,
         scratch_shapes=[pltpu.SMEM((_STACK,), jnp.int32)],
     )
-    use_masks = tri_rows.shape[1] == group * 10
+    use_masks = tri_rows.shape[1] == group * 11
     kernel = functools.partial(_wide_kernel, group=group, use_masks=use_masks,
                                occlusion=occlusion, all_definite=all_definite)
     out_shape = [
@@ -430,10 +444,9 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
         group=tribvh.group_size, occlusion=False, all_definite=False,
         interpret=interpret)
     t = t.reshape(-1)[:n]
-    prim = prim.reshape(-1)[:n]
+    prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
     u = u.reshape(-1)[:n]
     v = v.reshape(-1)[:n]
-    prim = jnp.where(prim >= 0, tribvh.tri_order[jnp.clip(prim, 0, None)], -1)
     return t, prim, u, v
 
 
@@ -449,10 +462,9 @@ def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
         all_definite=not scene_has_alpha, interpret=interpret)
     blocked = blocked.reshape(-1)[:n] > 0.0
     t = t.reshape(-1)[:n]
-    prim = prim.reshape(-1)[:n]
+    prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
     u = u.reshape(-1)[:n]
     v = v.reshape(-1)[:n]
-    prim = jnp.where(prim >= 0, tribvh.tri_order[jnp.clip(prim, 0, None)], -1)
     return blocked, t, prim, u, v
 
 
@@ -466,15 +478,15 @@ def _wide_vmem_bytes(n_leaves: int) -> int:
 
 
 def wide_supported(tribvh: TriBVH, vmem_budget_bytes=80 * 2 ** 20) -> bool:
-    if tribvh.group_size * 9 > _LANE:
+    if tribvh.group_size * 10 > _LANE:  # 9 vertex lanes + 1 id lane per tri
         return False
     return _wide_vmem_bytes(tribvh.bvh.num_leaves) < vmem_budget_bytes
 
 
 def pick_group_size_wide(num_tris: int, vmem_budget_bytes=80 * 2 ** 20) -> int:
-    """Smallest leaf group whose wide tables fit VMEM (sizes <= 12 keep
-    room for in-leaf alpha masks, G*10 <= 128)."""
-    for g in (4, 6, 8, 10, 12):
+    """Smallest leaf group whose wide tables fit VMEM (sizes <= 11 keep
+    room for in-leaf alpha masks + id lanes, G*11 <= 128)."""
+    for g in (4, 6, 8, 10, 11):
         n_leaves = max(-(-num_tris // g), 2)
         if _wide_vmem_bytes(n_leaves) < vmem_budget_bytes:
             return g

@@ -102,6 +102,100 @@ def sample_texture(atlas, tex_table, tex_id, u, v):
     return jnp.concatenate([rgb, out[:, 3:4]], axis=-1)
 
 
+def _wrap_f32(x, size, mode):
+    """Texel wrap on integer-valued f32 coordinates (exact for
+    |x| < 2^24). Float floor-div mod with a one-step correction replaces
+    s32 remainder: TPU has no integer divide — XLA lowers `rem` to a
+    ~20-op sequence, and 4 of them dominated the texture fusions.
+
+    x: (N,) integer-valued f32; size: (N,) f32 >= 1; mode: (N,) i32."""
+    r = x - jnp.floor(x / size) * size
+    # f32 division can round x/size across an integer: one correction
+    # step restores the exact mod
+    r = jnp.where(r < 0, r + size, jnp.where(r >= size, r - size, r))
+    period = 2.0 * size
+    m = x - jnp.floor(x / period) * period
+    m = jnp.where(m < 0, m + period, jnp.where(m >= period, m - period, m))
+    mir = jnp.where(m < size, m, period - 1.0 - m)
+    clamped = jnp.clip(x, 0.0, size - 1.0)
+    return jnp.where(mode == WRAP_REPEAT, r,
+                     jnp.where(mode == WRAP_MIRRORED_REPEAT, mir, clamped))
+
+
+def sample_texture_quad(atlas_quad, tex_table, tex_id, u, v):
+    """Fast-path texture sample: ONE row gather from the quad atlas.
+
+    The quad atlas stores each texel's 2x2 bilinear footprint
+    [c00 c10 c01 c11] as one 16-byte row (DeviceScene.atlas_quad), so the
+    whole bilinear read is a single row gather instead of four 1-D
+    element gathers (which run on the TPU scalar path at ~8 ns/element).
+
+    Semantics: identical arithmetic to `sample_texture` (same texels,
+    same blend, blend-then-sRGB-decode) EXCEPT that border neighbors are
+    precomputed in wrapped texel space — exact for REPEAT wrap and for
+    all NEAREST sampling; bilinear MIRRORED_REPEAT / CLAMP_TO_EDGE taps
+    with out-of-range coordinates can pick an adjacent border texel where
+    the unwrapped-space 4-tap would re-clamp. Sub-noise for rendering;
+    `sample_texture` remains the reference implementation.
+    """
+    nt = tex_table.shape[0]
+    row = tex_table[jnp.clip(tex_id, 0, nt - 1)]
+    w, h = row[:, 2], row[:, 3]
+    wrap_s, wrap_t = row[:, 4], row[:, 5]
+    filt, srgb = row[:, 6], row[:, 7]
+    qx, qy = row[:, 8], row[:, 9]
+
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = u * wf
+    y = v * hf
+    x = jnp.where(filt == FILTER_LINEAR, x - 0.5, jnp.floor(x))
+    y = jnp.where(filt == FILTER_LINEAR, y - 0.5, jnp.floor(y))
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    qh, qw = atlas_quad.shape[0], atlas_quad.shape[1]
+    xw = _wrap_f32(x0, jnp.maximum(wf, 1.0), wrap_s).astype(jnp.int32) + qx
+    yw = _wrap_f32(y0, jnp.maximum(hf, 1.0), wrap_t).astype(jnp.int32) + qy
+    idx = jnp.clip(yw * qw + xw, 0, qh * qw - 1)
+    q = atlas_quad.reshape(-1, 16)[idx].astype(jnp.float32) * (1.0 / 255.0)
+    c00, c10, c01, c11 = q[:, 0:4], q[:, 4:8], q[:, 8:12], q[:, 12:16]
+    out = (
+        c00 * (1 - fx) * (1 - fy)
+        + c10 * fx * (1 - fy)
+        + c01 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
+    rgb = jnp.where((srgb > 0)[:, None], srgb_to_linear(out[:, :3]), out[:, :3])
+    return jnp.concatenate([rgb, out[:, 3:4]], axis=-1)
+
+
+def sample_texture_alpha_quad(atlas_quad, tex_table, tex_id, u, v):
+    """Alpha channel, single NEAREST tap, via ONE quad-row gather (the
+    c00 texel of the quad row is exactly the nearest texel — this path is
+    exact for every wrap mode). Replaces the scalar-path 1-D gather of
+    `sample_texture_alpha_nearest` in the any-hit hot loop."""
+    nt = tex_table.shape[0]
+    row = tex_table[jnp.clip(tex_id, 0, nt - 1)]
+    w, h = row[:, 2], row[:, 3]
+    wrap_s, wrap_t = row[:, 4], row[:, 5]
+    qx, qy = row[:, 8], row[:, 9]
+    wf = jnp.maximum(w.astype(jnp.float32), 1.0)
+    hf = jnp.maximum(h.astype(jnp.float32), 1.0)
+    x0 = jnp.floor(u * wf)
+    y0 = jnp.floor(v * hf)
+    qh, qw = atlas_quad.shape[0], atlas_quad.shape[1]
+    xw = _wrap_f32(x0, wf, wrap_s).astype(jnp.int32) + qx
+    yw = _wrap_f32(y0, hf, wrap_t).astype(jnp.int32) + qy
+    idx = jnp.clip(yw * qw + xw, 0, qh * qw - 1)
+    # full-row gather then channel slice: [idx, 3] would be an element
+    # gather, which lowers to the slow scalar path
+    return (atlas_quad.reshape(-1, 16)[idx][:, 3].astype(jnp.float32)
+            * (1.0 / 255.0))
+
+
 def sample_texture_alpha_nearest(atlas, tex_table, tex_id, u, v):
     """Alpha channel only, single nearest tap (for the any-hit alpha test:
     1 gather instead of 4 — the hot path of the re-trace loop). Textures

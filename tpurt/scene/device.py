@@ -67,6 +67,17 @@ class DeviceScene(NamedTuple):
     # fused any-hit row per triangle (ONE gather in the re-trace hot loop):
     # [tested, cutoff, tex_id, uv0u, uv0v, uv1u, uv1v, uv2u, uv2v] f32
     tri_alpha_row: jnp.ndarray  # (T, 9) f32
+    # fused SHADING row per triangle: everything the wave shader reads,
+    # as ONE (T, 40) row gather instead of ~12 separate gathers (1-D
+    # gathers run on the TPU scalar path at ~8 ns/element). Layout:
+    # [0:6]   uv (3 verts x 2)
+    # [6:15]  normal-matrix-premultiplied vertex normals (3 x 3)
+    # [15:27] raw tangents (3 x 4)
+    # [27:30] material albedo_scale rgb      [30] roughness factor
+    # [31]    normal_map_factor              [32:35] emissive rgb
+    # [35:39] tex ids (albedo, mr, normal, emissive) as f32
+    # [39]    pad
+    tri_shade_row: jnp.ndarray  # (T, 40) f32
     # 16-bit barycentric transparency mask per triangle (4x4 grid over the
     # (u, v) hit coordinates; bit set = the whole cell's alpha is below the
     # cutoff, so the traversal kernel can reject the hit without a texture
@@ -78,7 +89,16 @@ class DeviceScene(NamedTuple):
     tri_alpha_mask: jnp.ndarray  # (T,) i32 (values < 2^17)
     materials: Materials
     atlas: jnp.ndarray        # (AH, AW, 4) uint8
-    tex_table: jnp.ndarray    # (NT, 8) i32: x, y, w, h, wrap_s, wrap_t, filter, srgb
+    # quad atlas: per texel, the 2x2 bilinear footprint [c00 c10 c01 c11]
+    # as ONE 16-byte row, so a texture sample is ONE row gather instead of
+    # four scalar-path 1-D gathers (measured ~8 ns/elem each on v5e).
+    # Neighbors are precomputed in wrapped texel space per (image, wrap)
+    # combo — exact for REPEAT and for all NEAREST sampling; MIRRORED/
+    # CLAMP bilinear edges can differ from unwrapped-space taps by one
+    # texel (documented deviation, kernels/texture.py).
+    atlas_quad: jnp.ndarray   # (QH, QW, 16) uint8
+    # (NT, 10) i32: x, y, w, h, wrap_s, wrap_t, filter, srgb, qx, qy
+    tex_table: jnp.ndarray
     lights: jnp.ndarray       # (L, 8) f32: px, py, pz, radius, r, g, b, intensity
 
     @property
@@ -153,6 +173,64 @@ def _pack_atlas(scene: SceneData) -> Tuple[np.ndarray, np.ndarray]:
     if not scene.textures:
         table[0, 2:4] = [1, 1]
     return atlas, table
+
+
+def _pack_atlas_quad(scene: SceneData,
+                     table: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Build the quad atlas (see DeviceScene.atlas_quad) and extend
+    `table` with (qx, qy) placement columns.
+
+    Each unique (image, wrap_s, wrap_t) combination gets its own region,
+    because the precomputed border neighbors depend on the wrap mode;
+    textures sharing an image AND wraps share the region."""
+    ext = np.zeros((table.shape[0], 10), np.int32)
+    ext[:, :8] = table
+    if not scene.images:
+        return np.zeros((8, 128, 16), np.uint8), ext
+
+    combos = []       # (image_index, wrap_s, wrap_t)
+    combo_of_tex = []
+    for t, tex in enumerate(scene.textures):
+        c = (tex.image_index, tex.wrap_s, tex.wrap_t)
+        if c not in combos:
+            combos.append(c)
+        combo_of_tex.append(combos.index(c))
+
+    order = sorted(range(len(combos)),
+                   key=lambda i: -scene.images[combos[i][0]].data.shape[0])
+    max_w = max(scene.images[c[0]].data.shape[1] for c in combos)
+    quad_w = max(128, 1 << int(np.ceil(np.log2(max_w))))
+    total_area = sum(scene.images[c[0]].data.shape[0]
+                     * scene.images[c[0]].data.shape[1] for c in combos)
+    while quad_w * quad_w < total_area and quad_w < 16384:
+        quad_w *= 2
+
+    placements = {}
+    x, y, shelf_h = 0, 0, 0
+    for i in order:
+        h, w = scene.images[combos[i][0]].data.shape[:2]
+        if x + w > quad_w:
+            y += shelf_h
+            x, shelf_h = 0, 0
+        placements[i] = (x, y)
+        x += w
+        shelf_h = max(shelf_h, h)
+    quad_h = int(np.ceil((y + shelf_h) / 8.0) * 8)
+
+    quad = np.zeros((quad_h, quad_w, 16), np.uint8)
+    for i, (px, py) in placements.items():
+        img_i, ws, wt = combos[i]
+        img = scene.images[img_i].data
+        h, w = img.shape[:2]
+        xs1 = _wrap_indices(np.arange(1, w + 1), w, ws)
+        ys1 = _wrap_indices(np.arange(1, h + 1), h, wt)
+        block = np.concatenate(
+            [img, img[:, xs1], img[ys1, :], img[ys1][:, xs1]], axis=-1)
+        quad[py : py + h, px : px + w] = block
+
+    for t, ci in enumerate(combo_of_tex):
+        ext[t, 8:10] = placements[ci]
+    return quad, ext
 
 
 def _materials_soa(scene: SceneData) -> Materials:
@@ -349,6 +427,7 @@ def build_device_scene(
             tri_alpha = np.zeros(padded, bool)
 
     atlas, tex_table = _pack_atlas(scene)
+    atlas_quad, tex_table = _pack_atlas_quad(scene, tex_table)
     materials = _materials_soa(scene)
 
     # fused alpha-test rows: flag, material cutoff, albedo tex id, 3x uv
@@ -361,6 +440,26 @@ def build_device_scene(
             cutoff_np.astype(np.float32)[:, None],
             tex_np[:, None],
             tri_uv.reshape(tri_uv.shape[0], 6).astype(np.float32),
+        ],
+        axis=1,
+    )
+
+    t_all = tri_pos.shape[0]
+    m_np = tri_mat.astype(np.int64)
+    tri_shade_row = np.concatenate(
+        [
+            tri_uv.reshape(t_all, 6).astype(np.float32),
+            tri_normal.reshape(t_all, 9).astype(np.float32),
+            tri_tangent.reshape(t_all, 12).astype(np.float32),
+            np.asarray(materials.albedo_scale)[m_np, :3].astype(np.float32),
+            np.asarray(materials.roughness)[m_np, None].astype(np.float32),
+            np.asarray(materials.normal_factor)[m_np, None].astype(np.float32),
+            np.asarray(materials.emissive)[m_np, :3].astype(np.float32),
+            np.asarray(materials.tex_albedo)[m_np, None].astype(np.float32),
+            np.asarray(materials.tex_mr)[m_np, None].astype(np.float32),
+            np.asarray(materials.tex_normal)[m_np, None].astype(np.float32),
+            np.asarray(materials.tex_emissive)[m_np, None].astype(np.float32),
+            np.zeros((t_all, 1), np.float32),
         ],
         axis=1,
     )
@@ -381,9 +480,11 @@ def build_device_scene(
         tri_mat=jnp.asarray(tri_mat),
         tri_alpha=jnp.asarray(tri_alpha),
         tri_alpha_row=jnp.asarray(tri_alpha_row),
+        tri_shade_row=jnp.asarray(tri_shade_row),
         tri_alpha_mask=jnp.asarray(tri_alpha_mask),
         materials=materials,
         atlas=jnp.asarray(atlas),
+        atlas_quad=jnp.asarray(atlas_quad),
         tex_table=jnp.asarray(tex_table),
         lights=jnp.asarray(lights_array(list(lights))),
     )
