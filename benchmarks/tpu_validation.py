@@ -102,6 +102,8 @@ def image_rmse_kernel_vs_oracle(spp=64, width=96, height=72):
         kernel_bvh = make_wide_kernel_bvh(
             r.bvh, r.device_scene.tri_pos,
             tri_alpha_mask=r.device_scene.tri_alpha_mask if r.has_alpha
+            else None,
+            tri_alpha_opaque=r.device_scene.tri_alpha_opaque if r.has_alpha
             else None)
     oracle_bvh = kernel_bvh.tribvh
 

@@ -55,6 +55,53 @@ def test_masks_built(tmp_path):
     assert (masks[tested] & 0xFFFF != 0).any()
     assert (masks[tested] >> 16 == 1).all()  # testable marker (occlusion)
     assert (masks[~tested] == 0).all()
+    # the dual opaque mask: the opaque half marks some cells, and no cell
+    # is both transparent and opaque
+    opaque = np.asarray(dev.tri_alpha_opaque)
+    assert (opaque[tested] != 0).any()
+    assert (opaque[~tested] == 0).all()
+    assert ((opaque & masks & 0xFFFF) == 0).all()
+    # the fused alpha row carries both masks (columns 9/10)
+    row = np.asarray(dev.tri_alpha_row)
+    assert row.shape[1] == 11
+    np.testing.assert_array_equal(row[:, 9].astype(np.int32),
+                                  masks & 0xFFFF)
+    np.testing.assert_array_equal(row[:, 10].astype(np.int32), opaque)
+
+
+def test_opaque_mask_conservative(tmp_path):
+    """Every cell marked opaque must have alpha >= cutoff at random
+    interior points (the dual of the transparency audit below)."""
+    from tpurt.kernels.texture import sample_texture_alpha_nearest
+
+    dev = build_device_scene(load_gltf(_hole_scene(tmp_path)))
+    opaque = np.asarray(dev.tri_alpha_opaque)
+    row = np.asarray(dev.tri_alpha_row)
+    rng = np.random.RandomState(1)
+    checked = 0
+    for ti in np.nonzero(np.asarray(dev.tri_alpha))[0]:
+        m = opaque[ti]
+        if m == 0:
+            continue
+        for cell in range(16):
+            if not (m >> cell) & 1:
+                continue
+            ci, cj = cell // 4, cell % 4
+            for _ in range(20):
+                u = (ci + rng.rand()) / 4.0
+                v = (cj + rng.rand()) / 4.0
+                if u + v > 1.0:
+                    continue
+                w0 = 1.0 - u - v
+                uu = w0 * row[ti, 3] + u * row[ti, 5] + v * row[ti, 7]
+                vv = w0 * row[ti, 4] + u * row[ti, 6] + v * row[ti, 8]
+                a = float(sample_texture_alpha_nearest(
+                    dev.atlas, dev.tex_table,
+                    jnp.asarray([int(row[ti, 2])], jnp.int32),
+                    jnp.asarray([uu]), jnp.asarray([vv]))[0])
+                assert a >= row[ti, 1], (ti, cell, u, v, a)
+                checked += 1
+    assert checked > 0
 
 
 def test_masked_kernel_skips_transparent(tmp_path):

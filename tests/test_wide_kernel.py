@@ -129,6 +129,34 @@ def test_wide_occlusion_alpha_semantics():
     assert (np.asarray(prim2) == -1).all()
 
 
+def test_wide_occlusion_opaque_cells_block():
+    """Fully-opaque cells of alpha-TESTED triangles are definite blockers
+    (occlusion early-exit), unlike undecided cells which stay uncertain."""
+    tris = _random_tris(64, seed=14)
+    tb = build_triangle_bvh(tris, group_size=4)
+    masks = jnp.full(64, 1 << 16, jnp.int32)       # testable, no cells decided
+    opaque = jnp.full(64, 0xFFFF, jnp.int32)       # ...but every cell opaque
+    kb = make_wide_kernel_bvh(tb, tris, tri_alpha_mask=masks,
+                              tri_alpha_opaque=opaque)
+    assert kb.tri_rows.shape[1] == 4 * 12  # both mask columns packed
+    o, d = _random_rays(1024, seed=15)
+    blocked, t, prim, u, v = occlusion_packets(
+        kb, o, d, jnp.zeros(1024), jnp.full(1024, 1e9, jnp.float32),
+        jnp.ones(1024, bool), scene_has_alpha=True, interpret=True)
+    lights = jnp.zeros((0, 8), jnp.float32)
+    ref = intersect_brute_force(tris, lights, o, d, jnp.zeros(1024), 1e9,
+                                include_spheres=False)
+    np.testing.assert_array_equal(np.asarray(blocked),
+                                  np.asarray(ref.kind) == 1)
+    # zero opaque mask on the same scene: nothing blocks (all uncertain)
+    kb0 = make_wide_kernel_bvh(tb, tris, tri_alpha_mask=masks,
+                               tri_alpha_opaque=jnp.zeros(64, jnp.int32))
+    blocked0, _, _, _, _ = occlusion_packets(
+        kb0, o, d, jnp.zeros(1024), jnp.full(1024, 1e9, jnp.float32),
+        jnp.ones(1024, bool), scene_has_alpha=True, interpret=True)
+    assert not np.asarray(blocked0).any()
+
+
 def test_wide_matches_binary_kernel():
     """Wide and binary kernels are drop-in equals on the same TriBVH."""
     from tpurt.kernels.pallas_traverse import make_kernel_bvh

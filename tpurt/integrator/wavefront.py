@@ -76,9 +76,19 @@ def _alpha_rejected(scene, h: Hit, mask) -> jnp.ndarray:
     True where the hit must be ignored (albedo texture alpha < cutoff)."""
     is_tri = h.kind == KIND_TRIANGLE
     prim = jnp.clip(h.prim, 0, scene.tri_pos.shape[0] - 1)
-    # ONE fused row gather: [tested, cutoff, tex, uv0, uv1, uv2]
+    # ONE fused row gather: [tested, cutoff, tex, uv0, uv1, uv2, tm, om]
     row = scene.tri_alpha_row[prim]
     tested = (row[:, 0] > 0.0) & is_tri & mask
+
+    # decided 4x4 barycentric cells skip the texture tap entirely (same
+    # cell indexing as the in-kernel masks, pallas_wide._tri_test):
+    # transparent bit -> rejected, opaque bit -> committed, else tap
+    cu = jnp.clip((h.u * 4.0).astype(jnp.int32), 0, 3)
+    cv = jnp.clip((h.v * 4.0).astype(jnp.int32), 0, 3)
+    cell = cu * 4 + cv
+    tbit = jnp.right_shift(row[:, 9].astype(jnp.int32), cell) & 1
+    obit = jnp.right_shift(row[:, 10].astype(jnp.int32), cell) & 1
+    undecided = tested & (tbit == 0) & (obit == 0)
 
     def evaluate(_):
         w0 = 1.0 - h.u - h.v
@@ -88,12 +98,13 @@ def _alpha_rejected(scene, h: Hit, mask) -> jnp.ndarray:
         a = sample_texture_alpha_quad(scene.atlas_quad, scene.tex_table, tex,
                                       uv_u, uv_v)
         a = jnp.where(tex == NO_TEXTURE, 1.0, a)
-        return tested & (a < row[:, 1])
+        return undecided & (a < row[:, 1])
 
-    # most waves hit no alpha-tested geometry at all: skip the texture
-    # tap entirely in that case
-    return jax.lax.cond(jnp.any(tested), evaluate,
-                        lambda _: jnp.zeros_like(tested), None)
+    # most waves hit no undecided alpha-tested geometry at all: skip the
+    # texture tap entirely in that case
+    by_tap = jax.lax.cond(jnp.any(undecided), evaluate,
+                          lambda _: jnp.zeros_like(tested), None)
+    return (tested & (tbit == 1)) | by_tap
 
 
 def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,

@@ -58,11 +58,12 @@ class WideKernelBVH(NamedTuple):
 
     tribvh: TriBVH
     node_rows: jnp.ndarray  # (8, W, 128) f32, per-octant slot-sorted
-    # leaf rows: G*9 vertex lanes, then (if masks) G alpha-mask lanes,
-    # then G GLOBAL triangle ids (f32-exact for ids < 2^24): the kernel
-    # emits final prim ids, so the wrapper needs no tri_order remap (a
-    # 1-D gather costing ~1.1 ms per 150k rays on the XLA scalar path)
-    tri_rows: jnp.ndarray   # (L, G*9 [+ G] + G) f32
+    # leaf rows: G*9 vertex lanes, then (if masks) G transparent-mask
+    # lanes (+ G opaque-mask lanes when they fit, G*12 <= 128), then G
+    # GLOBAL triangle ids (f32-exact for ids < 2^24): the kernel emits
+    # final prim ids, so the wrapper needs no tri_order remap (a 1-D
+    # gather costing ~1.1 ms per 150k rays on the XLA scalar path)
+    tri_rows: jnp.ndarray   # (L, G*9 [+ G [+ G]] + G) f32
 
 
 def _binary_depths(left: np.ndarray, right: np.ndarray) -> np.ndarray:
@@ -117,10 +118,13 @@ def collapse_to_wide(tribvh: TriBVH) -> tuple:
 
 
 def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
-                               tri_alpha_mask=None):
-    """Build (node_rows (8, W, 128), tri_rows (L, G*9[+G])) for the wide
-    kernel. Requires identity leaf order (build_triangle_bvh) and
-    group_size*9 <= 128 like the binary packer."""
+                               tri_alpha_mask=None, tri_alpha_opaque=None):
+    """Build (node_rows (8, W, 128), tri_rows (L, G*9[+G][+G]+G)) for the
+    wide kernel. Requires identity leaf order (build_triangle_bvh) and
+    group_size*9 <= 128 like the binary packer. With tri_alpha_opaque (and
+    lane room, G*12 <= 128), leaf rows carry BOTH 4x4 cell masks so the
+    occlusion walk can early-exit on fully-opaque cells of alpha-tested
+    triangles (foliage interiors) instead of deferring to the XLA recheck."""
     bvh = tribvh.bvh
     g = tribvh.group_size
     assert g * 10 <= _LANE, \
@@ -166,6 +170,10 @@ def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
         masks = tri_alpha_mask[tribvh.tri_order].astype(jnp.float32)
         tri_rows = jnp.concatenate(
             [tri_rows, masks.reshape(bvh.num_leaves, g)], axis=1)
+        if tri_alpha_opaque is not None and g * 12 <= _LANE:
+            om = tri_alpha_opaque[tribvh.tri_order].astype(jnp.float32)
+            tri_rows = jnp.concatenate(
+                [tri_rows, om.reshape(bvh.num_leaves, g)], axis=1)
     # global triangle ids per slot (always the LAST G lanes)
     assert int(np.max(np.asarray(tribvh.tri_order), initial=0)) < (1 << 24), \
         "leaf-row f32 id encoding requires < 2^24 triangles"
@@ -175,15 +183,17 @@ def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
 
 
 def make_wide_kernel_bvh(tribvh: TriBVH, tri_pos: jnp.ndarray,
-                         tri_alpha_mask=None) -> "WideKernelBVH":
+                         tri_alpha_mask=None,
+                         tri_alpha_opaque=None) -> "WideKernelBVH":
     node_rows, tri_rows = pack_scene_for_wide_kernel(tribvh, tri_pos,
-                                                     tri_alpha_mask)
+                                                     tri_alpha_mask,
+                                                     tri_alpha_opaque)
     return WideKernelBVH(tribvh=tribvh, node_rows=node_rows,
                          tri_rows=tri_rows)
 
 
 def _tri_test(row, k, t_min, t_best, prim, uu, vv, leaf, active,
-              ox, oy, oz, dx, dy, dz, group, use_masks):
+              ox, oy, oz, dx, dy, dz, group, use_masks, use_opaque):
     """Moller-Trumbore vs triangle k of a leaf row, with the 4x4
     barycentric transparency-mask rejection (shared by closest/occlusion)."""
     base = k * 9
@@ -212,12 +222,19 @@ def _tri_test(row, k, t_min, t_best, prim, uu, vv, leaf, active,
         m_int = jnp.int32(row[group * 9 + k])
         cu = jnp.clip((u * 4.0).astype(jnp.int32), 0, 3)
         cv = jnp.clip((v * 4.0).astype(jnp.int32), 0, 3)
-        bit = jnp.right_shift(m_int, cu * 4 + cv) & 1
+        cell = cu * 4 + cv
+        bit = jnp.right_shift(m_int, cell) & 1
         hit = hit & (bit == 0)
         testable = (jnp.right_shift(m_int, 16) & 1) == 1
+        if use_opaque:
+            # fully-opaque cell: the alpha test cannot reject this hit, so
+            # it is a DEFINITE surface even on alpha-tested geometry
+            o_int = jnp.int32(row[group * 10 + k])
+            obit = jnp.right_shift(o_int, cell) & 1
+            testable = testable & (obit == 0)
     # the row's trailing G lanes carry GLOBAL triangle ids (f32-exact):
     # committing them here saves the wrapper a scalar-path remap gather
-    id_base = group * 10 if use_masks else group * 9
+    id_base = group * (9 + int(use_masks) + int(use_opaque))
     tri_id = row[id_base + k].astype(jnp.int32)
     t_best = jnp.where(hit, t, t_best)
     prim = jnp.where(hit, tri_id, prim)
@@ -231,8 +248,8 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                  tmin_ref, tlim_ref, act_ref,
                  t_ref, prim_ref, u_ref, v_ref, blk_ref,
                  stack_ref,
-                 *, group: int, use_masks: bool, occlusion: bool,
-                 all_definite: bool):
+                 *, group: int, use_masks: bool, use_opaque: bool,
+                 occlusion: bool, all_definite: bool):
     """Stack-based 8-ary packet traversal (closest-hit or occlusion).
 
     Stack entries: wide node id (>= 0) or -(leaf id + 1). Slot hits of a
@@ -320,7 +337,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
             for k in range(group):
                 t_best, prim, uu, vv, hit, testable = _tri_test(
                     lrow, k, t_min, t_best, prim, uu, vv, leaf, active,
-                    ox, oy, oz, dx, dy, dz, group, use_masks)
+                    ox, oy, oz, dx, dy, dz, group, use_masks, use_opaque)
                 if occlusion:
                     if use_masks:
                         definite = hit & jnp.logical_not(testable)
@@ -383,8 +400,10 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
         out_specs=[ray_spec] * 5,
         scratch_shapes=[pltpu.SMEM((_STACK,), jnp.int32)],
     )
-    use_masks = tri_rows.shape[1] == group * 11
+    use_masks = tri_rows.shape[1] >= group * 11
+    use_opaque = tri_rows.shape[1] == group * 12
     kernel = functools.partial(_wide_kernel, group=group, use_masks=use_masks,
+                               use_opaque=use_opaque,
                                occlusion=occlusion, all_definite=all_definite)
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),

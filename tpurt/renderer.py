@@ -70,9 +70,12 @@ class Renderer:
 
             mask = (self.device_scene.tri_alpha_mask
                     if self.has_alpha else None)
+            omask = (self.device_scene.tri_alpha_opaque
+                     if self.has_alpha else None)
             if wide_supported(self.bvh):
                 self.bvh = make_wide_kernel_bvh(
-                    self.bvh, self.device_scene.tri_pos, tri_alpha_mask=mask)
+                    self.bvh, self.device_scene.tri_pos, tri_alpha_mask=mask,
+                    tri_alpha_opaque=omask)
             elif kernel_supported(self.bvh, self.device_scene.tri_pos):
                 self.bvh = make_kernel_bvh(
                     self.bvh, self.device_scene.tri_pos, tri_alpha_mask=mask)

@@ -65,8 +65,11 @@ class DeviceScene(NamedTuple):
     tri_mat: jnp.ndarray      # (T,) i32 material index
     tri_alpha: jnp.ndarray    # (T,) bool, geometry is alpha tested
     # fused any-hit row per triangle (ONE gather in the re-trace hot loop):
-    # [tested, cutoff, tex_id, uv0u, uv0v, uv1u, uv1v, uv2u, uv2v] f32
-    tri_alpha_row: jnp.ndarray  # (T, 9) f32
+    # [tested, cutoff, tex_id, uv0u, uv0v, uv1u, uv1v, uv2u, uv2v,
+    #  mask_transparent, mask_opaque] f32 (the two 4x4 cell masks as
+    #  f32-exact ints, so the exact alpha test can skip the texture tap
+    #  for any hit whose cell is decided)
+    tri_alpha_row: jnp.ndarray  # (T, 11) f32
     # fused SHADING row per triangle: everything the wave shader reads,
     # as ONE (T, 40) row gather instead of ~12 separate gathers (1-D
     # gathers run on the TPU scalar path at ~8 ns/element). Layout:
@@ -87,6 +90,14 @@ class DeviceScene(NamedTuple):
     # tested AND a real albedo texture): the occlusion kernel treats hits
     # on unmarked triangles as DEFINITE blockers and early-exits the ray.
     tri_alpha_mask: jnp.ndarray  # (T,) i32 (values < 2^17)
+    # the dual mask: bit set = the whole cell's alpha is >= the cutoff
+    # (fully OPAQUE), so a hit in the cell is a DEFINITE surface — the
+    # occlusion kernel early-exits on it even for alpha-tested geometry,
+    # and the exact recheck skips its texture tap. 0xFFFF for alpha-
+    # tested triangles without a real albedo texture (their alpha is the
+    # constant 1.0, unless cutoff > 1 where the transparent mask is
+    # 0xFFFF instead).
+    tri_alpha_opaque: jnp.ndarray  # (T,) i32 (16-bit values)
     materials: Materials
     atlas: jnp.ndarray        # (AH, AW, 4) uint8
     # quad atlas: per texel, the 2x2 bilinear footprint [c00 c10 c01 c11]
@@ -269,40 +280,54 @@ def _wrap_indices(arr: np.ndarray, size: int, mode: int) -> np.ndarray:
 
 def _alpha_cell_masks(tri_alpha, tri_uv, tri_mat, materials: Materials,
                       atlas: np.ndarray, tex_table: np.ndarray,
-                      grid: int = 4, texel_cap: int = 1 << 16) -> np.ndarray:
-    """Per-triangle barycentric transparency bitmasks (see
-    DeviceScene.tri_alpha_mask).
+                      grid: int = 4, texel_cap: int = 1 << 16):
+    """Per-triangle barycentric alpha-decision bitmasks (see
+    DeviceScene.tri_alpha_mask / tri_alpha_opaque). Returns
+    (transparent, opaque): bit set in `transparent` = every sample in the
+    cell FAILS the alpha test (hit rejected, no texture tap needed); bit
+    set in `opaque` = every sample PASSES (definite surface, no tap).
 
     Conservative by construction (ADVICE r1): a cell's bit is set only if
     EVERY texel in the texel-space bounding box of the cell's closed UV
-    parallelogram is below the cutoff. The closed bbox (f64 corner
-    evaluation, extrema of an affine map are at corners) is a superset of
-    the texels any real-arithmetic hit in the half-open cell can
-    NEAREST-sample, so a set bit cannot cull an opaque texel. (The only
-    theoretical gap is a float32 hit evaluated within ~1e-6 texels of a
-    texel boundary rounding across it — sub-noise for a Monte-Carlo
-    renderer.) Cells whose bbox exceeds `texel_cap` texels stay 0 (fall
-    through to the exact re-trace test) instead of being sampled sparsely.
+    parallelogram is on one side of the cutoff. The closed bbox (f64
+    corner evaluation, extrema of an affine map are at corners) is a
+    superset of the texels any real-arithmetic hit in the half-open cell
+    can NEAREST-sample, so a set bit cannot misclassify a texel. (The
+    only theoretical gap is a float32 hit evaluated within ~1e-6 texels
+    of a texel boundary rounding across it — sub-noise for a Monte-Carlo
+    renderer.) Cells whose bbox exceeds `texel_cap` texels stay 0 in both
+    masks (fall through to the exact re-trace test) instead of being
+    sampled sparsely.
     """
     t = tri_alpha.shape[0]
-    masks = np.zeros(t, np.int32)
+    t_masks = np.zeros(t, np.int32)
+    o_masks = np.zeros(t, np.int32)
     idxs = np.nonzero(tri_alpha)[0]
     if idxs.size == 0:
-        return masks
+        return t_masks, o_masks
     atlas_a = atlas[..., 3].astype(np.float32) / 255.0
     ah, aw = atlas_a.shape
     tex_albedo = np.asarray(materials.tex_albedo)
     cutoffs = np.asarray(materials.alpha_cutoff)
     step = 1.0 / grid
+    full = np.int32((1 << (grid * grid)) - 1)
 
     for ti in idxs:
         tex = int(tex_albedo[tri_mat[ti]])
-        if tex == NO_TEXTURE or tex >= tex_table.shape[0]:
-            continue  # alpha defaults to 1.0: nothing to skip
-        x0, y0, w, h, wrap_s, wrap_t = (int(v) for v in tex_table[tex][:6])
         cutoff = float(cutoffs[tri_mat[ti]])
+        if tex == NO_TEXTURE or tex >= tex_table.shape[0]:
+            # no texture: alpha is the constant 1.0, so every cell is
+            # decided by the cutoff alone (matches _alpha_rejected's
+            # `where(tex == NO_TEXTURE, 1.0, a) < cutoff`)
+            if 1.0 < cutoff:
+                t_masks[ti] = full
+            else:
+                o_masks[ti] = full
+            continue
+        x0, y0, w, h, wrap_s, wrap_t = (int(v) for v in tex_table[tex][:6])
         uv = tri_uv[ti].astype(np.float64)  # (3, 2)
-        mask = 0
+        tmask = 0
+        omask = 0
         for ci in range(grid):
             for cj in range(grid):
                 # corners of the full cell square in barycentric (u, v);
@@ -331,9 +356,12 @@ def _alpha_cell_masks(tri_alpha, tri_uv, tri_mat, materials: Materials,
                 a = atlas_a[np.clip(ys + y0, 0, ah - 1)[:, None],
                             np.clip(xs + x0, 0, aw - 1)[None, :]]
                 if (a < cutoff).all():
-                    mask |= 1 << (ci * grid + cj)
-        masks[ti] = mask
-    return masks
+                    tmask |= 1 << (ci * grid + cj)
+                elif (a >= cutoff).all():
+                    omask |= 1 << (ci * grid + cj)
+        t_masks[ti] = tmask
+        o_masks[ti] = omask
+    return t_masks, o_masks
 
 
 def build_device_scene(
@@ -430,16 +458,21 @@ def build_device_scene(
     atlas_quad, tex_table = _pack_atlas_quad(scene, tex_table)
     materials = _materials_soa(scene)
 
-    # fused alpha-test rows: flag, material cutoff, albedo tex id, 3x uv
+    # fused alpha-test rows: flag, material cutoff, albedo tex id, 3x uv,
+    # transparent/opaque 4x4 cell masks (decided cells skip the tap)
     mats_np = tri_mat.astype(np.int64)
     cutoff_np = np.asarray(materials.alpha_cutoff)[mats_np]
     tex_np = np.asarray(materials.tex_albedo)[mats_np].astype(np.float32)
+    tri_mask_t, tri_mask_o = _alpha_cell_masks(tri_alpha, tri_uv, tri_mat,
+                                               materials, atlas, tex_table)
     tri_alpha_row = np.concatenate(
         [
             tri_alpha.astype(np.float32)[:, None],
             cutoff_np.astype(np.float32)[:, None],
             tex_np[:, None],
             tri_uv.reshape(tri_uv.shape[0], 6).astype(np.float32),
+            tri_mask_t.astype(np.float32)[:, None],
+            tri_mask_o.astype(np.float32)[:, None],
         ],
         axis=1,
     )
@@ -464,13 +497,11 @@ def build_device_scene(
         axis=1,
     )
 
-    tri_alpha_mask = _alpha_cell_masks(tri_alpha, tri_uv, tri_mat, materials,
-                                       atlas, tex_table)
     # bit 16: the triangle's alpha test can reject (tested + real texture);
     # hits on triangles WITHOUT this bit are definite occluders in the
     # occlusion kernel (no texture recheck needed)
     tex_valid = (np.asarray(materials.tex_albedo)[mats_np] != NO_TEXTURE)
-    tri_alpha_mask = tri_alpha_mask | ((tri_alpha & tex_valid).astype(np.int32) << 16)
+    tri_alpha_mask = tri_mask_t | ((tri_alpha & tex_valid).astype(np.int32) << 16)
 
     return DeviceScene(
         tri_pos=jnp.asarray(tri_pos),
@@ -482,6 +513,7 @@ def build_device_scene(
         tri_alpha_row=jnp.asarray(tri_alpha_row),
         tri_shade_row=jnp.asarray(tri_shade_row),
         tri_alpha_mask=jnp.asarray(tri_alpha_mask),
+        tri_alpha_opaque=jnp.asarray(tri_mask_o),
         materials=materials,
         atlas=jnp.asarray(atlas),
         atlas_quad=jnp.asarray(atlas_quad),
