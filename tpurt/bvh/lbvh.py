@@ -34,6 +34,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class LBVH(NamedTuple):
@@ -255,11 +256,64 @@ class TriBVH(NamedTuple):
         return self.tri_order.shape[0] // self.bvh.leaf_prim.shape[0]
 
 
-@partial(jax.jit, static_argnames=("group_size", "refit_passes"))
 def build_triangle_bvh(tri_pos: jnp.ndarray, group_size: int = 4,
                        refit_passes: int = 64) -> TriBVH:
     """Build the production triangle BVH: morton-sort triangles, group G
-    consecutive ones per leaf, LBVH over group AABBs."""
+    consecutive ones per leaf, LBVH over group AABBs.
+
+    Uses the native C++ host build (native/tpurt_native.cpp) when the
+    library is available and the input is concrete: on remote-compile
+    backends (the axon tunnel) the jitted device build costs minutes of
+    compile for a once-per-scene step, while the host Karras build is
+    ~100 ms at Sponza scale and uploads once. Falls back to the jitted
+    device build (tracers, native lib unavailable). Both produce valid
+    LBVHs over the same grouped-leaf layout; closest hits are identical
+    (tests/test_native.py::test_native_and_device_builds_agree_on_hits)."""
+    if not isinstance(tri_pos, jax.core.Tracer):
+        built = _build_triangle_bvh_host(tri_pos, group_size)
+        if built is not None:
+            return built
+    return _build_triangle_bvh_device(tri_pos, group_size, refit_passes)
+
+
+def _build_triangle_bvh_host(tri_pos, group_size: int):
+    """NumPy morton-sort/grouping + native Karras build. None if the
+    native library is unavailable."""
+    from tpurt import native
+
+    if not native.available():
+        return None
+    tri_np = np.asarray(tri_pos, np.float32)
+    t = tri_np.shape[0]
+    pmin = tri_np.min(axis=1)
+    pmax = tri_np.max(axis=1)
+    centroids = 0.5 * (pmin + pmax)
+    lo = pmin.min(axis=0)
+    hi = pmax.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-20)
+    codes = native.morton30((centroids - lo) / extent)
+    order = np.argsort(codes, kind="stable").astype(np.int32)
+
+    n_groups = max((t + group_size - 1) // group_size, 2)
+    padded = n_groups * group_size
+    order_padded = np.concatenate(
+        [order, np.broadcast_to(order[-1:], (padded - t,))])
+    gmin = pmin[order_padded].reshape(n_groups, group_size, 3).min(axis=1)
+    gmax = pmax[order_padded].reshape(n_groups, group_size, 3).max(axis=1)
+    bvh = native.build_lbvh_native(gmin, gmax)
+    if bvh is None:
+        return None
+    tri_order_leaf = order_padded.reshape(n_groups, group_size)[
+        np.asarray(bvh.leaf_prim)].reshape(-1)
+    bvh = bvh._replace(
+        leaf_prim=jnp.arange(n_groups, dtype=jnp.int32))
+    return TriBVH(bvh=bvh, tri_order=jnp.asarray(tri_order_leaf))
+
+
+@partial(jax.jit, static_argnames=("group_size", "refit_passes"))
+def _build_triangle_bvh_device(tri_pos: jnp.ndarray, group_size: int = 4,
+                               refit_passes: int = 64) -> TriBVH:
+    """The jitted on-device build (morton3 + argsort + build_lbvh)."""
     t = tri_pos.shape[0]
     pmin, pmax = triangle_aabbs(tri_pos)
     centroids = 0.5 * (pmin + pmax)
