@@ -36,7 +36,9 @@ def main():
         # real Sponza's ~260k-triangle scale (BASELINE.json); 270-row bands
         # keep each launch inside the tunnel's wall limit.
         width, height, samples = 1920, 1080, 1
-        chunk_rows = 270
+        # 256-row bands tile into 32x32 packet frusta (wavefront.tile_shape;
+        # 270 rows have no power-of-two tiling and fall back to strips)
+        chunk_rows = 256
         scene_kw = dict(columns=12, foliage=96, stacks=8, segments=28, rings=20)
     else:
         width, height, samples = 320, 240, 2

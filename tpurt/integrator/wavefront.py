@@ -560,6 +560,52 @@ def trace_paths(
 # shared with the sharded launch so sharded-vs-sequential stays bit-identical)
 
 
+# ---- packet tiling --------------------------------------------------------
+# The traversal kernel walks 1024-ray packets to the UNION of the packet's
+# node visits, so packet cost is set by frustum footprint. Row-major pixel
+# order makes a packet a 1-pixel-tall, 1024-wide strip (half the image at
+# 1080p); re-ordering pixels into square-ish tiles shrinks each packet's
+# frustum ~25x in perimeter at equal area. Pure reshape/transpose (no
+# gathers); per-pixel results are order-invariant, so images are unchanged.
+
+_PACKET_PIXELS = 1024  # pallas_wide.PACKET == pallas_traverse.PACKET
+
+
+def tile_shape(rows: int, width: int, packet: int = _PACKET_PIXELS):
+    """Squarest (tile_h, tile_w) with tile_h * tile_w == packet, tile_h
+    dividing rows and tile_w dividing width; None when no power-of-two
+    factorization fits (callers then keep row-major strips)."""
+    import math
+
+    best = None
+    th = 1
+    while th <= packet:
+        tw = packet // th
+        if (rows % th == 0 and th <= rows and width % tw == 0 and tw <= width):
+            if best is None or (abs(math.log2(th / tw))
+                                < abs(math.log2(best[0] / best[1]))):
+                best = (th, tw)
+        th *= 2
+    return best
+
+
+def tile_pack(x, spp: int, rows: int, width: int, th: int, tw: int):
+    """Reorder flat per-ray arrays (spp*rows*width, ...) so each
+    consecutive `packet` slice is one (th, tw) pixel tile."""
+    tail = x.shape[1:]
+    x = x.reshape(spp, rows // th, th, width // tw, tw, *tail)
+    x = jnp.swapaxes(x, 2, 3)
+    return x.reshape(spp * rows * width, *tail)
+
+
+def tile_unpack(x, spp: int, rows: int, width: int, th: int, tw: int):
+    """Inverse of tile_pack (back to row-major pixel order)."""
+    tail = x.shape[1:]
+    x = x.reshape(spp, rows // th, width // tw, th, tw, *tail)
+    x = jnp.swapaxes(x, 2, 3)
+    return x.reshape(spp * rows * width, *tail)
+
+
 @partial(jax.jit, static_argnames=("rows", "width", "height", "cfg", "has_alpha",
                                    "tex_flags"))
 def render_rows(
@@ -587,8 +633,14 @@ def render_rows(
     o, d, state = camera_rays_for_rows(camera, row_start, rows, width, height,
                                        cfg.tan_half_fov, sample_index, cfg.seed,
                                        spp=spp)
+    ts = tile_shape(rows, width)
+    if ts is not None:  # square-ish packet frusta (see tile_pack)
+        o, d, state = (tile_pack(x, spp, rows, width, *ts)
+                       for x in (o, d, state))
     radiance = trace_paths(scene, bvh, o, d, state, cfg=cfg, has_alpha=has_alpha,
                            tex_flags=tex_flags)
+    if ts is not None:
+        radiance = tile_unpack(radiance, spp, rows, width, *ts)
     n = rows * width
     if spp > 1:
         radiance = radiance.reshape(spp, n, 3).mean(axis=0)
@@ -651,9 +703,15 @@ def render_rows_stats(
     o, d, state = camera_rays_for_rows(camera, row_start, rows, width, height,
                                        cfg.tan_half_fov, sample_index, cfg.seed,
                                        spp=spp)
+    ts = tile_shape(rows, width)
+    if ts is not None:  # square-ish packet frusta (see tile_pack)
+        o, d, state = (tile_pack(x, spp, rows, width, *ts)
+                       for x in (o, d, state))
     radiance, rays = trace_paths(scene, bvh, o, d, state, cfg=cfg,
                                  has_alpha=has_alpha, return_stats=True,
                                  tex_flags=tex_flags)
+    if ts is not None:
+        radiance = tile_unpack(radiance, spp, rows, width, *ts)
     n = rows * width
     if spp > 1:
         radiance = radiance.reshape(spp, n, 3).mean(axis=0)

@@ -80,8 +80,17 @@ def _get_launch(mesh: Mesh, band_rows: int, width: int, height: int,
         o, d, state = camera_rays_for_rows(camera, row0, rows, width, height,
                                            cfg.tan_half_fov, sample, cfg.seed,
                                            spp=spp)
+        from tpurt.integrator.wavefront import (tile_pack, tile_shape,
+                                                tile_unpack)
+
+        ts = tile_shape(rows, width)
+        if ts is not None:  # square-ish packet frusta, like render_rows
+            o, d, state = (tile_pack(x, spp, rows, width, *ts)
+                           for x in (o, d, state))
         radiance = trace_paths(scene, bvh, o, d, state, cfg=cfg,
                                has_alpha=has_alpha, tex_flags=tex_flags)
+        if ts is not None:
+            radiance = tile_unpack(radiance, spp, rows, width, *ts)
         if spp > 1:
             radiance = radiance.reshape(spp, n_local, 3).mean(axis=0)
         # merge the spp axis over ICI (the accumulation-buffer reduction)
