@@ -45,6 +45,10 @@ from tpurt.bvh.lbvh import TriBVH
 PACKET = 1024
 _SUB, _LANE = 8, 128
 _STACK = 256
+# whole-table VMEM residency ceiling (node + leaf tables, bytes); v5e has
+# 128 MB of VMEM and the measured-safe scoped limit with resident tables
+# is ~118 MB (96 MB otherwise)
+_RESIDENT_BUDGET = 104 * 2 ** 20
 # node row lane layout
 _BOX0 = 0      # 8 slots x [minx,miny,minz,maxx,maxy,maxz] = 48 lanes
 _LINK0 = 48    # 8 slots: child wide id / leaf id (exact small int in f32)
@@ -193,9 +197,20 @@ def make_wide_kernel_bvh(tribvh: TriBVH, tri_pos: jnp.ndarray,
 
 
 def _tri_test(row, k, t_min, t_best, prim, uu, vv, leaf, active,
-              ox, oy, oz, dx, dy, dz, group, use_masks, use_opaque):
+              ox, oy, oz, dx, dy, dz, group, use_masks, use_opaque,
+              apply_cell_masks=True):
     """Moller-Trumbore vs triangle k of a leaf row, with the 4x4
-    barycentric transparency-mask rejection (shared by closest/occlusion)."""
+    barycentric transparency-mask rejection (shared by closest/occlusion).
+
+    use_masks/use_opaque describe the leaf-row LAYOUT (where the id lanes
+    sit); apply_cell_masks controls whether the per-cell mask tests
+    actually run. The closest-hit kernel skips them — its hits all pass
+    through the XLA recheck, which reads the same masks from the fused
+    alpha row for free, and with the unconditional leaf path (see
+    _wide_kernel) the cell tests would otherwise tax EVERY step (~50%
+    measured on a 192-alpha-tri scene). The occlusion kernel keeps them:
+    there they upgrade uncertain alpha hits to definite blockers
+    (early-exit) instead of deferring whole packets to the recheck."""
     base = k * 9
     v0x, v0y, v0z = row[base + 0], row[base + 1], row[base + 2]
     v1x, v1y, v1z = row[base + 3], row[base + 4], row[base + 5]
@@ -218,7 +233,7 @@ def _tri_test(row, k, t_min, t_best, prim, uu, vv, leaf, active,
     hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
            & (t > t_min) & (t < t_best) & active)
     testable = None
-    if use_masks:
+    if use_masks and apply_cell_masks:
         m_int = jnp.int32(row[group * 9 + k])
         cu = jnp.clip((u * 4.0).astype(jnp.int32), 0, 3)
         cv = jnp.clip((v * 4.0).astype(jnp.int32), 0, 3)
@@ -249,12 +264,18 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                  t_ref, prim_ref, u_ref, v_ref, blk_ref,
                  stack_ref,
                  *, group: int, use_masks: bool, use_opaque: bool,
-                 occlusion: bool, all_definite: bool):
+                 occlusion: bool, all_definite: bool, resident: bool):
     """Stack-based 8-ary packet traversal (closest-hit or occlusion).
 
     Stack entries: wide node id (>= 0) or -(leaf id + 1). Slot hits of a
     node are packed as bits of one i32 vector and collapsed with one
-    max-reduce, so a step costs ~one vector->scalar transfer."""
+    max-reduce, so a step costs ~one vector->scalar transfer.
+
+    With `resident` the whole 8-octant node table lives in VMEM for the
+    entire launch and the kernel indexes it by the packet's prefetched
+    octant; otherwise nb_ref is the per-packet octant block (one
+    table-sized DMA whenever consecutive packets change octant)."""
+    oct_s = oct_ref[pl.program_id(0)] if resident else jnp.int32(0)
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     t_min = tmin_ref[:]
@@ -267,51 +288,49 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
     stack_ref[0] = jnp.int32(0)  # wide root
 
-    # the pop dispatch avoids lax.cond over MIXED scalar/vector carries
-    # (those yields fail to legalize in Mosaic): the node path's vector
-    # work runs under a cond with a scalar-only result (the hitmask), the
-    # leaf path under a cond with vector-only carries (the binary kernel's
-    # proven pattern), and stack pushes are pl.when-predicated scalar
-    # stores. `blocked` rides the carry as f32 (i1 vector yields fail too).
+    # BOTH the node and leaf paths run UNCONDITIONALLY every step,
+    # predicated by is_node masks: lax.cond-gating them (round-2 first
+    # cut) costs ~1.47x end-to-end — Mosaic materializes the five (8,128)
+    # vector carries through each cond, which dwarfs the ~100 vector ops
+    # of the skipped path (measured 71 -> 48 ms on 480 camera packets at
+    # 215k tris, bit-identical hits). Stack pushes are pl.when-predicated
+    # scalar stores. `blocked` rides the carry as f32 (i1 vector yields
+    # fail to legalize).
     def body(carry):
         sp, t_best, prim, uu, vv, blocked = carry
         active = act0 if not occlusion else act0 & (blocked == 0.0)
         sp = sp - 1
         entry = stack_ref[sp]
         is_node = entry >= 0
-        row = nb_ref[0, jnp.maximum(entry, 0)]
+        row = nb_ref[oct_s, jnp.maximum(entry, 0)]
 
         # ---- node path: 8 slot tests -> one scalar hitmask --------------
-        def node_mask(_):
-            # pack per-slot packet hits as bits of ONE i32 vector
-            hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
-            for s in range(8):
-                b = s * 6
-                t0x = (row[_BOX0 + b + 0] - ox) * inv_x
-                t0y = (row[_BOX0 + b + 1] - oy) * inv_y
-                t0z = (row[_BOX0 + b + 2] - oz) * inv_z
-                t1x = (row[_BOX0 + b + 3] - ox) * inv_x
-                t1y = (row[_BOX0 + b + 4] - oy) * inv_y
-                t1z = (row[_BOX0 + b + 5] - oz) * inv_z
-                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                             jnp.minimum(t0y, t1y)),
-                                 jnp.maximum(jnp.minimum(t0z, t1z), t_min))
-                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                             jnp.maximum(t0y, t1y)),
-                                 jnp.minimum(jnp.maximum(t0z, t1z), t_best))
-                hit_s = (tn <= tf) & active
-                hitbits = hitbits | jnp.where(hit_s, jnp.int32(1 << s),
-                                              jnp.int32(0))
-            # collapse to one scalar 8-bit hitmask with log2 OR-rotations
-            # (ONE vector->scalar transfer, like the binary kernel)
-            for shift in (4, 2, 1):
-                hitbits = hitbits | pltpu.roll(hitbits, shift, 0)
-            for shift in (64, 32, 16, 8, 4, 2, 1):
-                hitbits = hitbits | pltpu.roll(hitbits, shift, 1)
-            return hitbits[0, 0]
-
-        mask_scalar = jax.lax.cond(is_node, node_mask,
-                                   lambda _: jnp.int32(0), None)
+        # pack per-slot packet hits as bits of ONE i32 vector
+        hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
+        for s in range(8):
+            b = s * 6
+            t0x = (row[_BOX0 + b + 0] - ox) * inv_x
+            t0y = (row[_BOX0 + b + 1] - oy) * inv_y
+            t0z = (row[_BOX0 + b + 2] - oz) * inv_z
+            t1x = (row[_BOX0 + b + 3] - ox) * inv_x
+            t1y = (row[_BOX0 + b + 4] - oy) * inv_y
+            t1z = (row[_BOX0 + b + 5] - oz) * inv_z
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+            hit_s = (tn <= tf) & active
+            hitbits = hitbits | jnp.where(hit_s, jnp.int32(1 << s),
+                                          jnp.int32(0))
+        # collapse to one scalar 8-bit hitmask with log2 OR-rotations
+        # (ONE vector->scalar transfer, like the binary kernel)
+        for shift in (4, 2, 1):
+            hitbits = hitbits | pltpu.roll(hitbits, shift, 0)
+        for shift in (64, 32, 16, 8, 4, 2, 1):
+            hitbits = hitbits | pltpu.roll(hitbits, shift, 1)
+        mask_scalar = jnp.where(is_node, hitbits[0, 0], jnp.int32(0))
 
         # push far slots first (slots pre-sorted near-to-far per octant);
         # kind == 0 gates EMPTY slots — their inverted placeholder box does
@@ -329,30 +348,25 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
             sp = sp + do_push.astype(jnp.int32)
 
-        # ---- leaf path: G triangle tests (cond-gated vector carries) ----
-        def leaf_fn(args):
-            t_best, prim, uu, vv, blocked = args
-            leaf = -entry - 1
-            lrow = tr_ref[leaf]
-            for k in range(group):
-                t_best, prim, uu, vv, hit, testable = _tri_test(
-                    lrow, k, t_min, t_best, prim, uu, vv, leaf, active,
-                    ox, oy, oz, dx, dy, dz, group, use_masks, use_opaque)
-                if occlusion:
-                    if use_masks:
-                        definite = hit & jnp.logical_not(testable)
-                    elif all_definite:
-                        definite = hit
-                    else:
-                        definite = None
-                    if definite is not None:
-                        blocked = jnp.maximum(
-                            blocked, jnp.where(definite, 1.0, 0.0))
-            return t_best, prim, uu, vv, blocked
-
-        t_best, prim, uu, vv, blocked = jax.lax.cond(
-            jnp.logical_not(is_node), leaf_fn, lambda a: a,
-            (t_best, prim, uu, vv, blocked))
+        # ---- leaf path: G triangle tests, predicated by ~is_node --------
+        leaf = jnp.maximum(-entry - 1, 0)
+        lrow = tr_ref[leaf]
+        lactive = active & jnp.logical_not(is_node)
+        for k in range(group):
+            t_best, prim, uu, vv, hit, testable = _tri_test(
+                lrow, k, t_min, t_best, prim, uu, vv, leaf, lactive,
+                ox, oy, oz, dx, dy, dz, group, use_masks, use_opaque,
+                apply_cell_masks=occlusion)
+            if occlusion:
+                if use_masks:
+                    definite = hit & jnp.logical_not(testable)
+                elif all_definite:
+                    definite = hit
+                else:
+                    definite = None
+                if definite is not None:
+                    blocked = jnp.maximum(
+                        blocked, jnp.where(definite, 1.0, 0.0))
 
         return sp, t_best, prim, uu, vv, blocked
 
@@ -390,9 +404,18 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p, oct_ref: (p, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    nodes_spec = pl.BlockSpec((1, w, _LANE),
-                              lambda p, oct_ref: (oct_ref[p], 0, 0),
-                              memory_space=pltpu.VMEM)
+    # whole-table residency: when the 8-octant node table + leaf table fit
+    # the VMEM ceiling, keep BOTH resident for the entire launch and index
+    # nodes by the packet's octant in-kernel — no per-packet table DMA
+    # (measured 8.6 -> 10.9 Mrays/s coherent closest at 215k tris, and
+    # immunity to octant-incoherent packet order). Fall back to per-packet
+    # octant blocks (one block resident, re-DMAed on octant change) for
+    # scenes beyond the ceiling.
+    table_bytes = (8 * w * _LANE + tri_rows.shape[0] * _LANE) * 4
+    resident = table_bytes < _RESIDENT_BUDGET
+    nodes_spec = full if resident else pl.BlockSpec(
+        (1, w, _LANE), lambda p, oct_ref: (oct_ref[p], 0, 0),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_packets,),
@@ -404,7 +427,8 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     use_opaque = tri_rows.shape[1] == group * 12
     kernel = functools.partial(_wide_kernel, group=group, use_masks=use_masks,
                                use_opaque=use_opaque,
-                               occlusion=occlusion, all_definite=all_definite)
+                               occlusion=occlusion, all_definite=all_definite,
+                               resident=resident)
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.int32),
@@ -415,7 +439,8 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     params = {}
     if not interpret:
         params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024)
+            vmem_limit_bytes=118 * 1024 * 1024 if resident
+            else 96 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
