@@ -293,10 +293,17 @@ def _swide_kernel(oct_ref, nb_ref, tr_ref,
         leaf = jnp.maximum(-entry - 1, 0)
         lrow = tr_ref[leaf]                         # (128,)
         rep = jnp.broadcast_to(lrow.reshape(1, _LANE), (_SUB, _LANE))
-        # sublane j starts at lane 12*j: per-sublane right-roll by
-        # (128-12)*j == left-roll by 12*j (roll stride semantics)
-        tri = pltpu.roll(rep, 0, 1, stride=_LANE - _TRI_LANES,
-                         stride_axis=0)
+        # transpose triangles into sublanes: sublane j's lanes 0-11 are
+        # the row's lanes 12j..12j+11. Eight STATIC lane-rolls + sublane
+        # selects — the strided-roll variant compiles to different
+        # semantics on hardware than in interpret mode (measured), so the
+        # per-sublane shift is spelled out. pltpu.roll(x, s, 1) carries
+        # lane L to lane (L + s) % 128 (verified both backends), so the
+        # left-shift by 12j is a roll by 128 - 12j.
+        tri = jnp.zeros((_SUB, _LANE), jnp.float32)
+        for j in range(_SUB):
+            shifted = pltpu.roll(rep, (_LANE - _TRI_LANES * j) % _LANE, 1)
+            tri = jnp.where(sub_iota == j, shifted, tri)
         v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
         e1x = tri[:, 3:4] - v0x
         e1y = tri[:, 4:5] - v0y
