@@ -109,6 +109,10 @@ struct BuildCtx {
 
 }  // namespace
 
+void tpurt_refit_and_ropes(const int32_t* left, const int32_t* right,
+                           float* node_min, float* node_max, int64_t n,
+                           int32_t* first, int32_t* skip);
+
 // Karras-2012 binary radix tree + bottom-up AABB refit + per-octant
 // stackless skip links (sequential). Node layout identical to
 // tpurt/bvh/lbvh.py::LBVH:
@@ -198,7 +202,19 @@ int tpurt_lbvh_build(const float* prim_min, const float* prim_max, int64_t n,
     }
   }
 
-  // bottom-up refit via explicit post-order stack
+  tpurt_refit_and_ropes(left, right, node_min, node_max, n, first, skip);
+  return 0;
+}
+
+// Bottom-up AABB refit (leaf boxes pre-filled at node ids n-1..2n-2) +
+// per-octant DFS order: first child = the one nearer along the octant's
+// direction signs (projected child-center separation), then skip links
+// skip[first[i]] = second[i]; skip[second[i]] = skip[i]; top-down.
+// Shared by the LBVH and SAH builds (identical output layout).
+void tpurt_refit_and_ropes(const int32_t* left, const int32_t* right,
+                           float* node_min, float* node_max, int64_t n,
+                           int32_t* first, int32_t* skip) {
+  const int64_t n_internal = n - 1;
   std::vector<int32_t> stack;
   std::vector<uint8_t> visited(n_internal, 0);
   stack.reserve(128);
@@ -220,9 +236,6 @@ int tpurt_lbvh_build(const float* prim_min, const float* prim_max, int64_t n,
     }
   }
 
-  // per-octant DFS order: first child = the one nearer along the octant's
-  // direction signs (projected child-center separation), then skip links
-  // skip[first[i]] = second[i]; skip[second[i]] = skip[i]; top-down.
   const int32_t end_sentinel = (int32_t)(2 * n - 1);
   const int64_t n_nodes = 2 * n - 1;
   for (int oct = 0; oct < 8; ++oct) {
@@ -255,7 +268,217 @@ int tpurt_lbvh_build(const float* prim_min, const float* prim_max, int64_t n,
       if (right[node] < n_internal) stack.push_back(right[node]);
     }
   }
-  return 0;
+}
+
+// ---- binned-SAH build ------------------------------------------------------
+
+namespace {
+
+struct SahPrim {
+  float bmin[3], bmax[3], c[3];
+  int32_t id;
+};
+
+inline float half_area(const float* bmin, const float* bmax) {
+  float dx = std::max(bmax[0] - bmin[0], 0.0f);
+  float dy = std::max(bmax[1] - bmin[1], 0.0f);
+  float dz = std::max(bmax[2] - bmin[2], 0.0f);
+  return dx * dy + dy * dz + dz * dx;
+}
+
+struct Box6 {
+  float bmin[3] = {3e38f, 3e38f, 3e38f};
+  float bmax[3] = {-3e38f, -3e38f, -3e38f};
+  void grow(const SahPrim& p) {
+    for (int c = 0; c < 3; ++c) {
+      bmin[c] = std::min(bmin[c], p.bmin[c]);
+      bmax[c] = std::max(bmax[c], p.bmax[c]);
+    }
+  }
+  void grow(const Box6& b) {
+    for (int c = 0; c < 3; ++c) {
+      bmin[c] = std::min(bmin[c], b.bmin[c]);
+      bmax[c] = std::max(bmax[c], b.bmax[c]);
+    }
+  }
+};
+
+struct SahNode {
+  int32_t left = -1, right = -1;  // SahNode indices; leaf when left < 0
+  int32_t leaf_id = -1;
+  Box6 box;
+};
+
+}  // namespace
+
+// Top-down binned SAH (16 bins, split while count > group), leaves of up
+// to `group` primitives padded by repetition into `tri_order`. Emits the
+// same array layout as tpurt_lbvh_build over the SAH leaves, with
+// leaf_prim = identity (leaf l's primitives sit at tri_order[l*group..]).
+// The SAH topology typically traverses architectural scenes in ~1.5-2.5x
+// fewer node visits than the morton-grouped LBVH. Returns the leaf count,
+// or -1 when max_leaves would be exceeded (caller falls back to LBVH).
+int tpurt_sah_build(const float* prim_min, const float* prim_max, int64_t n,
+                    int32_t group, int32_t max_leaves, int32_t* tri_order,
+                    int32_t* left, int32_t* right, float* node_min,
+                    float* node_max, int32_t* leaf_prim, int32_t* first,
+                    int32_t* skip) {
+  if (n < 1 || group < 1) return -1;
+  std::vector<SahPrim> prims(n);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int c = 0; c < 3; ++c) {
+      prims[i].bmin[c] = prim_min[i * 3 + c];
+      prims[i].bmax[c] = prim_max[i * 3 + c];
+      prims[i].c[c] = 0.5f * (prim_min[i * 3 + c] + prim_max[i * 3 + c]);
+    }
+    prims[i].id = (int32_t)i;
+  }
+
+  constexpr int kBins = 16;
+  std::vector<SahNode> nodes;
+  nodes.reserve(2 * (size_t)std::max<int64_t>(n / std::max(group, 1), 2));
+  int32_t n_leaves = 0;
+
+  struct Frame { int64_t lo, hi; int32_t node; };
+  std::vector<Frame> work;
+  nodes.push_back(SahNode{});
+  work.push_back({0, n, 0});
+
+  while (!work.empty()) {
+    Frame fr = work.back();
+    work.pop_back();
+    SahNode& nd = nodes[fr.node];
+    Box6 box, cbox;
+    for (int64_t i = fr.lo; i < fr.hi; ++i) {
+      box.grow(prims[i]);
+      for (int c = 0; c < 3; ++c) {
+        cbox.bmin[c] = std::min(cbox.bmin[c], prims[i].c[c]);
+        cbox.bmax[c] = std::max(cbox.bmax[c], prims[i].c[c]);
+      }
+    }
+    nd.box = box;
+    const int64_t count = fr.hi - fr.lo;
+    if (count <= group) {
+      if (n_leaves >= max_leaves) return -1;
+      nd.leaf_id = n_leaves;
+      for (int64_t k = 0; k < group; ++k) {
+        int64_t src = fr.lo + std::min(k, count - 1);  // pad by repetition
+        tri_order[(int64_t)n_leaves * group + k] = prims[src].id;
+      }
+      ++n_leaves;
+      continue;
+    }
+
+    // binned SAH over the centroid-extent axes; fall back to a median
+    // split when every centroid lands in one bin
+    int best_axis = -1, best_bin = -1;
+    float best_cost = 3e38f;
+    for (int axis = 0; axis < 3; ++axis) {
+      float ext = cbox.bmax[axis] - cbox.bmin[axis];
+      if (ext <= 1e-20f) continue;
+      float inv = kBins / ext;
+      Box6 bins[kBins];
+      int64_t cnt[kBins] = {0};
+      for (int64_t i = fr.lo; i < fr.hi; ++i) {
+        int b = std::min((int)((prims[i].c[axis] - cbox.bmin[axis]) * inv),
+                         kBins - 1);
+        bins[b].grow(prims[i]);
+        ++cnt[b];
+      }
+      Box6 suffix[kBins];
+      int64_t scount[kBins];
+      Box6 acc;
+      int64_t ac = 0;
+      for (int b = kBins - 1; b >= 0; --b) {
+        if (cnt[b]) acc.grow(bins[b]);
+        ac += cnt[b];
+        suffix[b] = acc;
+        scount[b] = ac;
+      }
+      Box6 pre;
+      int64_t pc = 0;
+      for (int b = 0; b < kBins - 1; ++b) {
+        if (cnt[b]) pre.grow(bins[b]);
+        pc += cnt[b];
+        if (pc == 0 || scount[b + 1] == 0) continue;
+        float cost = half_area(pre.bmin, pre.bmax) * pc +
+                     half_area(suffix[b + 1].bmin, suffix[b + 1].bmax) *
+                         scount[b + 1];
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_axis = axis;
+          best_bin = b;
+        }
+      }
+    }
+
+    int64_t mid;
+    if (best_axis < 0) {
+      mid = fr.lo + count / 2;  // degenerate: median in current order
+    } else {
+      float inv = kBins / (cbox.bmax[best_axis] - cbox.bmin[best_axis]);
+      float lo_c = cbox.bmin[best_axis];
+      auto it = std::partition(
+          prims.begin() + fr.lo, prims.begin() + fr.hi,
+          [&](const SahPrim& p) {
+            int b = std::min((int)((p.c[best_axis] - lo_c) * inv), kBins - 1);
+            return b <= best_bin;
+          });
+      mid = it - prims.begin();
+      if (mid == fr.lo || mid == fr.hi) mid = fr.lo + count / 2;
+    }
+
+    int32_t li = (int32_t)nodes.size();
+    nodes.push_back(SahNode{});
+    int32_t ri = (int32_t)nodes.size();
+    nodes.push_back(SahNode{});
+    nodes[fr.node].left = li;
+    nodes[fr.node].right = ri;
+    work.push_back({mid, fr.hi, ri});
+    work.push_back({fr.lo, mid, li});
+  }
+
+  if (n_leaves < 2) return -1;  // the array format needs >= 1 internal
+
+  // linearize into the LBVH array layout: internals in DFS preorder from
+  // the SahNode root, leaves keep their emit ids
+  const int64_t n_internal = n_leaves - 1;
+  std::vector<int32_t> internal_id(nodes.size(), -1);
+  {
+    int32_t next = 0;
+    std::vector<int32_t> st{0};
+    while (!st.empty()) {
+      int32_t v = st.back();
+      st.pop_back();
+      if (nodes[v].left < 0) continue;
+      internal_id[v] = next++;
+      st.push_back(nodes[v].right);
+      st.push_back(nodes[v].left);
+    }
+  }
+  for (size_t v = 0; v < nodes.size(); ++v) {
+    const SahNode& nd = nodes[v];
+    if (nd.left < 0) {
+      int64_t node_id = n_internal + nd.leaf_id;
+      for (int c = 0; c < 3; ++c) {
+        node_min[node_id * 3 + c] = nd.box.bmin[c];
+        node_max[node_id * 3 + c] = nd.box.bmax[c];
+      }
+      continue;
+    }
+    int32_t id = internal_id[v];
+    const SahNode& l = nodes[nd.left];
+    const SahNode& r = nodes[nd.right];
+    left[id] = l.left < 0 ? (int32_t)(n_internal + l.leaf_id)
+                          : internal_id[nd.left];
+    right[id] = r.left < 0 ? (int32_t)(n_internal + r.leaf_id)
+                           : internal_id[nd.right];
+  }
+  for (int32_t i = 0; i < n_leaves; ++i) leaf_prim[i] = i;
+
+  tpurt_refit_and_ropes(left, right, node_min, node_max, n_leaves, first,
+                        skip);
+  return n_leaves;
 }
 
 }  // extern "C"

@@ -277,8 +277,10 @@ def build_triangle_bvh(tri_pos: jnp.ndarray, group_size: int = 4,
 
 
 def _build_triangle_bvh_host(tri_pos, group_size: int):
-    """NumPy morton-sort/grouping + native Karras build. None if the
-    native library is unavailable."""
+    """Native host build: binned SAH by preference (typically 1.5-2.5x
+    fewer node visits than morton grouping on architectural scenes),
+    morton-sort/grouping + Karras as the fallback. None if the native
+    library is unavailable."""
     from tpurt import native
 
     if not native.available():
@@ -287,6 +289,11 @@ def _build_triangle_bvh_host(tri_pos, group_size: int):
     t = tri_np.shape[0]
     pmin = tri_np.min(axis=1)
     pmax = tri_np.max(axis=1)
+
+    built = native.build_sah_tribvh(pmin, pmax, group_size)
+    if built is not None:
+        tri_order, bvh = built
+        return TriBVH(bvh=bvh, tri_order=jnp.asarray(tri_order))
     centroids = 0.5 * (pmin + pmax)
     lo = pmin.min(axis=0)
     hi = pmax.max(axis=0)

@@ -271,8 +271,13 @@ def _swide_kernel(oct_ref, nb_ref, tr_ref,
                + sign_of(jnp.right_shift(axes6, 2) & 3) * 2
                + sign_of(axes6 & 3))
 
+        # dependent SMEM stores are ~100 ns each (see pallas_wide), so the
+        # carried sp advances arithmetically and the 8 stores run under
+        # ONE pl.when(mask != 0) with a local cursor — leaf pops and
+        # all-miss steps skip every store
         lks = [tile[0, _LK0 + s].astype(jnp.int32) for s in range(8)]
-        for r in range(7, -1, -1):                  # push far ranks first
+        ranks = []
+        for r in range(8):
             slot = jnp.int32(r) ^ xor
             lk = lks[0]
             for s in range(1, 8):
@@ -282,12 +287,19 @@ def _swide_kernel(oct_ref, nb_ref, tr_ref,
             child_entry = jnp.where(kind == 2, -(link + 1), link)
             do_push = (((jnp.right_shift(mask_scalar, slot) & 1) > 0)
                        & (kind > 0))
+            ranks.append((child_entry, do_push))
+        sp_out = sp
+        for _, do_push in ranks:
+            sp_out = sp_out + do_push.astype(jnp.int32)
 
-            @pl.when(do_push)
-            def _(sp=sp, child_entry=child_entry):
+        @pl.when(mask_scalar != 0)
+        def _(sp=sp):
+            for r in range(7, -1, -1):              # push far ranks first
+                child_entry, do_push = ranks[r]
                 stack_ref[k, sp] = child_entry
+                sp = sp + do_push.astype(jnp.int32)
 
-            sp = sp + do_push.astype(jnp.int32)
+        sp = sp_out
 
         # ---- leaf test: 8 triangles x 128 rays, one batch --------------
         leaf = jnp.maximum(-entry - 1, 0)

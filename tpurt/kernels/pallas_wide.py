@@ -45,6 +45,7 @@ from tpurt.bvh.lbvh import TriBVH
 PACKET = 1024
 _SUB, _LANE = 8, 128
 _STACK = 256
+_UNROLL = 4  # traversal steps per while iteration (see _wide_kernel)
 # whole-table VMEM residency ceiling (node + leaf tables, bytes); v5e has
 # 128 MB of VMEM and the measured-safe scoped limit with resident tables
 # is ~118 MB (96 MB otherwise)
@@ -293,15 +294,22 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
     # cut) costs ~1.47x end-to-end — Mosaic materializes the five (8,128)
     # vector carries through each cond, which dwarfs the ~100 vector ops
     # of the skipped path (measured 71 -> 48 ms on 480 camera packets at
-    # 215k tris, bit-identical hits). Stack pushes are pl.when-predicated
-    # scalar stores. `blocked` rides the carry as f32 (i1 vector yields
-    # fail to legalize).
-    def body(carry):
+    # 215k tris, bit-identical hits). Stack pushes are branch-free scalar
+    # stores (see below). `blocked` rides the carry as f32 (i1 vector
+    # yields fail to legalize). The while body runs _UNROLL steps per
+    # iteration: a Mosaic while iteration carries ~0.9 us of fixed
+    # overhead (carry writeback + loop-back; measured 1175 -> 475
+    # ns/step at 4x), so steps after stack exhaustion are alive-guarded
+    # no-ops and the cond is only checked every _UNROLL steps.
+    def step(carry):
         sp, t_best, prim, uu, vv, blocked = carry
-        active = act0 if not occlusion else act0 & (blocked == 0.0)
-        sp = sp - 1
-        entry = stack_ref[sp]
-        is_node = entry >= 0
+        alive = sp > 0
+        active = act0 & alive
+        if occlusion:
+            active = active & (blocked == 0.0)
+        sp = sp - alive.astype(jnp.int32)
+        entry = jnp.where(alive, stack_ref[jnp.maximum(sp, 0)], jnp.int32(0))
+        is_node = alive & (entry >= 0)
         row = nb_ref[oct_s, jnp.maximum(entry, 0)]
 
         # ---- node path: 8 slot tests -> one scalar hitmask --------------
@@ -335,18 +343,34 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         # push far slots first (slots pre-sorted near-to-far per octant);
         # kind == 0 gates EMPTY slots — their inverted placeholder box does
         # not fail the slab test (min/max re-sorts the slabs), so the kind
-        # check is what actually excludes them
-        for s in range(7, -1, -1):
-            kind = row[_KIND0 + s].astype(jnp.int32)
-            link = row[_LINK0 + s].astype(jnp.int32)
-            child_entry = jnp.where(kind == 2, -(link + 1), link)
-            do_push = ((jnp.right_shift(mask_scalar, s) & 1) > 0) & (kind > 0)
+        # check is what actually excludes them.
+        #
+        # Dependent SMEM stores are the expensive part of a step (~100 ns
+        # EACH, measured: +865 ns for 8, whether pl.when-predicated or
+        # unconditional — branches and the 16 scalar row loads are ~free).
+        # So: the carried sp advances ARITHMETICALLY outside any branch,
+        # and the stores run under ONE pl.when(mask != 0) — leaf pops and
+        # all-miss node steps (the common cases) skip all 8 stores for
+        # the price of one cheap branch. Inside the block a local cursor
+        # re-derives each store position; skipped entries sit above the
+        # stack top and are overwritten by the next real push.
+        kinds = [row[_KIND0 + s].astype(jnp.int32) for s in range(8)]
+        links = [row[_LINK0 + s].astype(jnp.int32) for s in range(8)]
+        pushes = [((jnp.right_shift(mask_scalar, s) & 1) > 0)
+                  & (kinds[s] > 0) for s in range(8)]
+        sp_out = sp
+        for s in range(8):
+            sp_out = sp_out + pushes[s].astype(jnp.int32)
 
-            @pl.when(do_push)
-            def _(sp=sp, child_entry=child_entry):
+        @pl.when(mask_scalar != 0)
+        def _(sp=sp):
+            for s in range(7, -1, -1):
+                child_entry = jnp.where(kinds[s] == 2, -(links[s] + 1),
+                                        links[s])
                 stack_ref[sp] = child_entry
+                sp = sp + pushes[s].astype(jnp.int32)
 
-            sp = sp + do_push.astype(jnp.int32)
+        sp = sp_out
 
         # ---- leaf path: G triangle tests, predicated by ~is_node --------
         leaf = jnp.maximum(-entry - 1, 0)
@@ -369,6 +393,11 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                         blocked, jnp.where(definite, 1.0, 0.0))
 
         return sp, t_best, prim, uu, vv, blocked
+
+    def body(carry):
+        for _ in range(_UNROLL):
+            carry = step(carry)
+        return carry
 
     def cond(carry):
         sp = carry[0]

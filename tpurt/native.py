@@ -76,6 +76,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.tpurt_lbvh_build.argtypes = [f32p, f32p, i64, i32p, i32p, f32p,
                                          f32p, i32p, i32p, i32p]
         lib.tpurt_lbvh_build.restype = ctypes.c_int
+        lib.tpurt_sah_build.argtypes = [f32p, f32p, i64, ctypes.c_int32,
+                                        ctypes.c_int32, i32p, i32p, i32p,
+                                        f32p, f32p, i32p, i32p, i32p]
+        lib.tpurt_sah_build.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -199,3 +203,53 @@ def build_lbvh_native(prim_min: np.ndarray, prim_max: np.ndarray):
         leaf_prim=jnp.asarray(leaf_prim), first=jnp.asarray(first),
         skip=jnp.asarray(skip),
     )
+
+
+def build_sah_tribvh(prim_min: np.ndarray, prim_max: np.ndarray,
+                     group: int):
+    """Host-side binned-SAH build over per-triangle AABBs: groups
+    triangles into leaves of `group` (padded by repetition) and returns
+    (tri_order (n_leaves*group,) np.int32, lbvh.LBVH) with identity
+    leaf order — the same contract as build_triangle_bvh's grouping.
+    None when the native library is unavailable or the build overflows
+    its leaf budget (caller falls back to the morton build)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import jax.numpy as jnp
+
+    from tpurt.bvh.lbvh import LBVH
+
+    n = prim_min.shape[0]
+    pmin = np.ascontiguousarray(prim_min, np.float32)
+    pmax = np.ascontiguousarray(prim_max, np.float32)
+    max_leaves = max(2 * ((n + group - 1) // group) + 16, 4)
+    tri_order = np.empty(max_leaves * group, np.int32)
+    left = np.empty(max_leaves - 1, np.int32)
+    right = np.empty(max_leaves - 1, np.int32)
+    node_min = np.empty((2 * max_leaves - 1, 3), np.float32)
+    node_max = np.empty((2 * max_leaves - 1, 3), np.float32)
+    leaf_prim = np.empty(max_leaves, np.int32)
+    first = np.empty(8 * (max_leaves - 1), np.int32)
+    skip = np.empty(8 * (2 * max_leaves - 1), np.int32)
+    n_leaves = lib.tpurt_sah_build(
+        _ptr(pmin, ctypes.c_float), _ptr(pmax, ctypes.c_float), n,
+        group, max_leaves, _ptr(tri_order, ctypes.c_int32),
+        _ptr(left, ctypes.c_int32), _ptr(right, ctypes.c_int32),
+        _ptr(node_min, ctypes.c_float), _ptr(node_max, ctypes.c_float),
+        _ptr(leaf_prim, ctypes.c_int32), _ptr(first, ctypes.c_int32),
+        _ptr(skip, ctypes.c_int32),
+    )
+    if n_leaves < 2:
+        return None
+    nl = int(n_leaves)
+    bvh = LBVH(
+        left=jnp.asarray(left[:nl - 1].copy()),
+        right=jnp.asarray(right[:nl - 1].copy()),
+        node_min=jnp.asarray(node_min[:2 * nl - 1].copy()),
+        node_max=jnp.asarray(node_max[:2 * nl - 1].copy()),
+        leaf_prim=jnp.asarray(leaf_prim[:nl].copy()),
+        first=jnp.asarray(first[:8 * (nl - 1)].copy().reshape(8, nl - 1)),
+        skip=jnp.asarray(skip[:8 * (2 * nl - 1)].copy().reshape(8, 2 * nl - 1)),
+    )
+    return tri_order[:nl * group].copy(), bvh
