@@ -69,6 +69,10 @@ class WideKernelBVH(NamedTuple):
     # final prim ids, so the wrapper needs no tri_order remap (a 1-D
     # gather costing ~1.1 ms per 150k rays on the XLA scalar path)
     tri_rows: jnp.ndarray   # (L, G*9 [+ G [+ G]] + G) f32
+    # original world triangles, for the wrapper-side u/v recompute (the
+    # kernel carries only t/prim/blocked: every dropped (8,128) carry
+    # lowers live-register pressure in the hot while body)
+    tri_pos: jnp.ndarray    # (T, 3, 3) f32
 
 
 def _binary_depths(left: np.ndarray, right: np.ndarray) -> np.ndarray:
@@ -194,10 +198,10 @@ def make_wide_kernel_bvh(tribvh: TriBVH, tri_pos: jnp.ndarray,
                                                      tri_alpha_mask,
                                                      tri_alpha_opaque)
     return WideKernelBVH(tribvh=tribvh, node_rows=node_rows,
-                         tri_rows=tri_rows)
+                         tri_rows=tri_rows, tri_pos=jnp.asarray(tri_pos))
 
 
-def _tri_test(row, k, t_min, t_best, prim, uu, vv, leaf, active,
+def _tri_test(row, k, t_min, t_best, prim, leaf, active,
               ox, oy, oz, dx, dy, dz, group, use_masks, use_opaque,
               apply_cell_masks=True):
     """Moller-Trumbore vs triangle k of a leaf row, with the 4x4
@@ -254,15 +258,13 @@ def _tri_test(row, k, t_min, t_best, prim, uu, vv, leaf, active,
     tri_id = row[id_base + k].astype(jnp.int32)
     t_best = jnp.where(hit, t, t_best)
     prim = jnp.where(hit, tri_id, prim)
-    uu = jnp.where(hit, u, uu)
-    vv = jnp.where(hit, v, vv)
-    return t_best, prim, uu, vv, hit, testable
+    return t_best, prim, hit, testable
 
 
 def _wide_kernel(oct_ref, nb_ref, tr_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                 tmin_ref, tlim_ref, act_ref,
-                 t_ref, prim_ref, u_ref, v_ref, blk_ref,
+                 tmin_ref, tlim_ref,
+                 t_ref, prim_ref, blk_ref,
                  stack_ref,
                  *, group: int, use_masks: bool, use_opaque: bool,
                  occlusion: bool, all_definite: bool, resident: bool):
@@ -272,6 +274,13 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
     node are packed as bits of one i32 vector and collapsed with one
     max-reduce, so a step costs ~one vector->scalar transfer.
 
+    Live-register economy (per-step cost is dominated by register
+    pressure once the scalar machinery is branch-gated): the carry is
+    only (sp, t_best, prim, blocked) — u/v are recomputed by the wrapper
+    from the committed prim, and ray ACTIVITY is encoded in t_limit
+    (inactive rays enter with t_best = -BIG, so no box interval and no
+    triangle t can ever pass; see _layout).
+
     With `resident` the whole 8-octant node table lives in VMEM for the
     entire launch and the kernel indexes it by the packet's prefetched
     octant; otherwise nb_ref is the per-packet octant block (one
@@ -280,7 +289,6 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     t_min = tmin_ref[:]
-    act0 = act_ref[:] > 0.0
 
     tiny = jnp.float32(1e-20)
     inv_x = jnp.where(dx >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dx), tiny)
@@ -302,11 +310,11 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
     # ns/step at 4x), so steps after stack exhaustion are alive-guarded
     # no-ops and the cond is only checked every _UNROLL steps.
     def step(carry):
-        sp, t_best, prim, uu, vv, blocked = carry
+        sp, t_best, prim, blocked = carry
         alive = sp > 0
-        active = act0 & alive
-        if occlusion:
-            active = active & (blocked == 0.0)
+        # per-ray activity is encoded in t_best (inactive -> -BIG), so the
+        # only vector activity term left is occlusion's blocked early-out
+        active = alive & (blocked == 0.0) if occlusion else alive
         sp = sp - alive.astype(jnp.int32)
         entry = jnp.where(alive, stack_ref[jnp.maximum(sp, 0)], jnp.int32(0))
         is_node = alive & (entry >= 0)
@@ -377,8 +385,8 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         lrow = tr_ref[leaf]
         lactive = active & jnp.logical_not(is_node)
         for k in range(group):
-            t_best, prim, uu, vv, hit, testable = _tri_test(
-                lrow, k, t_min, t_best, prim, uu, vv, leaf, lactive,
+            t_best, prim, hit, testable = _tri_test(
+                lrow, k, t_min, t_best, prim, leaf, lactive,
                 ox, oy, oz, dx, dy, dz, group, use_masks, use_opaque,
                 apply_cell_masks=occlusion)
             if occlusion:
@@ -392,7 +400,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                     blocked = jnp.maximum(
                         blocked, jnp.where(definite, 1.0, 0.0))
 
-        return sp, t_best, prim, uu, vv, blocked
+        return sp, t_best, prim, blocked
 
     def body(carry):
         for _ in range(_UNROLL):
@@ -403,7 +411,8 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         sp = carry[0]
         live = sp > 0
         if occlusion:
-            live = live & jnp.any(act0 & (carry[5] == 0.0))
+            # still-active = not blocked AND not inactive-encoded (-BIG)
+            live = live & jnp.any((carry[3] == 0.0) & (carry[1] > -1e37))
         return live
 
     init = (
@@ -411,22 +420,18 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         tlim_ref[:],
         jnp.full((_SUB, _LANE), -1, jnp.int32),
         jnp.zeros((_SUB, _LANE), jnp.float32),
-        jnp.zeros((_SUB, _LANE), jnp.float32),
-        jnp.zeros((_SUB, _LANE), jnp.float32),
     )
-    _, t_best, prim, uu, vv, blocked = jax.lax.while_loop(cond, body, init)
+    _, t_best, prim, blocked = jax.lax.while_loop(cond, body, init)
 
     t_ref[:] = t_best
     prim_ref[:] = prim
-    u_ref[:] = uu
-    v_ref[:] = vv
     blk_ref[:] = blocked
 
 
 @functools.partial(jax.jit, static_argnames=(
     "group", "occlusion", "all_definite", "interpret"))
 def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
-                  tmin, tlim, act, *, group, occlusion, all_definite,
+                  tmin, tlim, *, group, occlusion, all_definite,
                   interpret=False):
     n_packets = ox.shape[0] // _SUB
     w = node_rows.shape[1]
@@ -448,8 +453,8 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_packets,),
-        in_specs=[nodes_spec, full] + [ray_spec] * 9,
-        out_specs=[ray_spec] * 5,
+        in_specs=[nodes_spec, full] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 3,
         scratch_shapes=[pltpu.SMEM((_STACK,), jnp.int32)],
     )
     use_masks = tri_rows.shape[1] >= group * 11
@@ -461,8 +466,6 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.int32),
-        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
-        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
     ]
     params = {}
@@ -476,7 +479,7 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
         out_shape=out_shape,
         interpret=interpret,
         **params,
-    )(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz, tmin, tlim, act)
+    )(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz, tmin, tlim)
 
 
 def _layout(kbvh, o, d, t_min, t_limit, active):
@@ -494,15 +497,39 @@ def _layout(kbvh, o, d, t_min, t_limit, active):
     dy = lay(d[:, 1], 1.0)
     dz = lay(d[:, 2], 1.0)
     tm = lay(t_min, 0.0)
-    tl = lay(t_limit, 0.0)
-    ac = lay(active.astype(jnp.float32), 0.0)
+    # activity is ENCODED in t_limit: inactive rays start at t_best = -BIG
+    # so no box interval and no triangle t can ever pass (saves the act
+    # vector from the kernel's live registers entirely)
+    tl = lay(jnp.where(active, t_limit, -_BIG), -_BIG)
     oct_all = (
         (dx < 0).astype(jnp.int32) * 4
         + (dy < 0).astype(jnp.int32) * 2
         + (dz < 0).astype(jnp.int32)
     )
     octants = oct_all.reshape(-1, _SUB, _LANE)[:, 0, 0]
-    return octants, ox, oy, oz, dx, dy, dz, tm, tl, ac, n
+    return octants, ox, oy, oz, dx, dy, dz, tm, tl, n
+
+
+def _uv_from_prim(kbvh: WideKernelBVH, o, d, prim):
+    """Barycentrics of the committed hit, recomputed from the original
+    triangle (same Moller-Trumbore arithmetic the kernel applies; kept
+    out of the kernel so u/v never ride the traversal carry). One (T, 9)
+    row gather + ~30 vector ops per trace."""
+    tp = kbvh.tri_pos.reshape(kbvh.tri_pos.shape[0], 9)
+    row = tp[jnp.clip(prim, 0, tp.shape[0] - 1)]
+    v0 = row[:, 0:3]
+    e1 = row[:, 3:6] - v0
+    e2 = row[:, 6:9] - v0
+    pv = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pv, axis=-1)
+    ok = jnp.abs(det) > 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tv = o - v0
+    u = jnp.sum(tv * pv, axis=-1) * inv
+    qv = jnp.cross(tv, e1)
+    v = jnp.sum(d * qv, axis=-1) * inv
+    hit = prim >= 0
+    return jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
 
 
 def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
@@ -512,14 +539,13 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
     tribvh = kbvh.tribvh
     t_limit = jnp.full(o.shape[0], t_max, jnp.float32)
     octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active)
-    t, prim, u, v, _ = _wide_packets(
+    t, prim, _ = _wide_packets(
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=False, all_definite=False,
         interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
-    u = u.reshape(-1)[:n]
-    v = v.reshape(-1)[:n]
+    u, v = _uv_from_prim(kbvh, o, d, prim)
     return t, prim, u, v
 
 
@@ -529,15 +555,14 @@ def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
     pallas_traverse.occlusion_packets)."""
     tribvh = kbvh.tribvh
     octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active)
-    t, prim, u, v, blocked = _wide_packets(
+    t, prim, blocked = _wide_packets(
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=True,
         all_definite=not scene_has_alpha, interpret=interpret)
     blocked = blocked.reshape(-1)[:n] > 0.0
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
-    u = u.reshape(-1)[:n]
-    v = v.reshape(-1)[:n]
+    u, v = _uv_from_prim(kbvh, o, d, prim)
     return blocked, t, prim, u, v
 
 
