@@ -87,7 +87,7 @@ def main():
     print(results["results"][-1])
 
     # 4. Sponza analogue 1080p @ 1024 spp
-    cfg = RenderConfig(width=1920, height=1080, max_samples=1024, chunk_rows=270)
+    cfg = RenderConfig(width=1920, height=1080, max_samples=1024, chunk_rows=256)
     cam = Camera.from_angles([0.0, -4.0, 0.0], 0.7, -0.1)
     lights = [
         SphereLight((-8.0, -5.0, -2.0), 0.1, (0.8, 0.6, 0.6), 500.0),
