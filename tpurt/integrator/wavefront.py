@@ -64,6 +64,11 @@ from tpurt.scene.types import NO_TEXTURE
 
 MAX_WAVES = 8  # camera hit + up to 7 bounces (recursion cap, PipelineBuilder.cpp:172)
 
+# wave-compaction granularity: the traversal kernels process 1024-ray
+# packets, so compacted batches stay packet-aligned; batches below
+# 2*PACKET_COMPACT skip compaction entirely (tests, tiny tiles)
+PACKET_COMPACT = 1024
+
 # measured sort policy (TPU, 320x240 interior): sorting re-traced/secondary
 # batches compacts live rays into few packets, but argsort itself costs ~ms
 # per launch — each site is toggled by what benchmarks showed actually wins
@@ -294,10 +299,11 @@ def trace_paths(
     def wave(carry, wave_idx):
         (o, d, state, radiance, throughput, albedo_prod, depth, rays_traced,
          active) = carry
+        nw = o.shape[0]  # batch size (shrinks after wave compaction)
         include_spheres = wave_idx > 0  # static python bool per unrolled wave
 
         with jax.named_scope("trace_closest"):
-            hit = _trace(scene, bvh, o, d, jnp.zeros(n), active,
+            hit = _trace(scene, bvh, o, d, jnp.zeros(nw), active,
                          include_spheres, cfg, has_alpha,
                          sort_rays=bool(wave_idx) or SORT_WAVE0)
 
@@ -401,8 +407,8 @@ def trace_paths(
                 dir_sphere = sample_sphere(hit_point, lt[:, :3], lt[:, 3],
                                            u1, u2)
             else:
-                lt = jnp.zeros((n, 8), jnp.float32)
-                dir_sphere = jnp.zeros((n, 3), jnp.float32)
+                lt = jnp.zeros((nw, 8), jnp.float32)
+                dir_sphere = jnp.zeros((nw, 3), jnp.float32)
             dir_hemi = sample_hemisphere_uniform(shading_n, u1, u2)
             dir1 = jnp.where(pick_env[:, None], dir_hemi, dir_sphere)
 
@@ -431,11 +437,11 @@ def trace_paths(
                 jnp.concatenate([throughput, throughput]),
                 cfg, has_alpha,
             )
-        rgb1, rgb2 = rgb12[:n], rgb12[n:]
-        a1, a2 = a12[:n], a12[n:]
+        rgb1, rgb2 = rgb12[:nw], rgb12[nw:]
+        a1, a2 = a12[:nw], a12[nw:]
         # rmiss increments recursionDepth (raytrace.rmiss:10)
-        depth = (depth + miss12[:n].astype(jnp.int32)
-                 + miss12[n:].astype(jnp.int32))
+        depth = (depth + miss12[:nw].astype(jnp.int32)
+                 + miss12[nw:].astype(jnp.int32))
 
         # weightLight (raytrace-common.glsl:51-62), alpha clamp 1e-5
         mis_scope = jax.named_scope("mis_weights")
@@ -447,7 +453,7 @@ def trace_paths(
         if nl > 0:
             light_pdf1 = pdf_sphere(hit_point, dir1, lt[:, :3], lt[:, 3])
         else:
-            light_pdf1 = jnp.zeros(n)
+            light_pdf1 = jnp.zeros(nw)
         vis1 = jnp.maximum(1.0 - jnp.maximum(a1, 0.0), 0.0)
         w_light = (
             bsdf_f1
@@ -550,10 +556,78 @@ def trace_paths(
         c2, _ = wave(c, 1)
         return c2
 
-    carry = jax.lax.while_loop(cond, body, carry)
+    # ---- wave compaction -----------------------------------------------
+    # Every wave iteration pays full-batch XLA machinery (gathers, BSDF,
+    # NEE sampling, film math) regardless of how many rays survive; by
+    # wave 2+ most lanes are dead (RR + misses) but still cost ~48% of
+    # frame time at 1080p. After the second wave, sort the state
+    # alive-first and — when the survivors fit — run the remaining loop
+    # at HALF the batch size, scattering the accumulated radiance back.
+    # Exact by construction: the sliced-away rows are all inactive (the
+    # sort puts actives first and the cond proves they fit), and inactive
+    # rays contribute nothing downstream. When survivors exceed the
+    # capacity (bright/specular scenes), the full-size loop runs instead.
+    n_cap = max(-(-(n // 2) // PACKET_COMPACT) * PACKET_COMPACT,
+                PACKET_COMPACT)
+    if n_cap >= n:
+        carry = jax.lax.while_loop(cond, body, carry)
+        if return_stats:
+            return carry[3], carry[7]
+        return carry[3]
+
+    carry, _ = wave(carry, 1)
+    (o_c, d_c, state_c, radiance, throughput_c, albedo_c, depth_c,
+     rays_traced, active_c) = carry
+
+    def tail_full(args):
+        (o, d, state, throughput, albedo_prod, depth, rays_traced,
+         active) = args
+        c = jax.lax.while_loop(
+            cond, body,
+            (o, d, state, jnp.zeros((n, 3), jnp.float32), throughput,
+             albedo_prod, depth, rays_traced, active))
+        return c[3], c[7]
+
+    def tail_compact(args):
+        from tpurt.bvh.traverse import _sort_rays
+
+        (o, d, state, throughput, albedo_prod, depth, rays_traced,
+         active) = args
+        key = (~active).astype(jnp.int32)  # actives first (stable)
+        orig, cols = _sort_rays(
+            key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                  state, throughput, albedo_prod[:, 0], albedo_prod[:, 1],
+                  albedo_prod[:, 2], depth, active))
+        (o0, o1, o2, d0, d1, d2, st, tp, a0, a1, a2, dp, ac) = (
+            c[:n_cap] for c in cols)
+        sub = (
+            jnp.stack([o0, o1, o2], axis=1),
+            jnp.stack([d0, d1, d2], axis=1),
+            st,
+            jnp.zeros((n_cap, 3), jnp.float32),
+            tp,
+            jnp.stack([a0, a1, a2], axis=1),
+            dp,
+            rays_traced,
+            ac,
+        )
+        c = jax.lax.while_loop(cond, body, sub)
+        rad_sorted = jnp.concatenate(
+            [c[3], jnp.zeros((n - n_cap, 3), jnp.float32)])
+        _, (r0, r1, r2) = _sort_rays(
+            orig, (rad_sorted[:, 0], rad_sorted[:, 1], rad_sorted[:, 2]))
+        return jnp.stack([r0, r1, r2], axis=1), c[7]
+
+    alive = jnp.sum(active_c.astype(jnp.int32))
+    with jax.named_scope("wave_compact"):
+        rad_tail, rays_traced = jax.lax.cond(
+            alive <= n_cap, tail_compact, tail_full,
+            (o_c, d_c, state_c, throughput_c, albedo_c, depth_c,
+             rays_traced, active_c))
+    radiance = radiance + rad_tail
     if return_stats:
-        return carry[3], carry[7]
-    return carry[3]
+        return radiance, rays_traced
+    return radiance
 
 
 # (raygen lives in tpurt.camera.camera_rays_for_rows — the ONE definition
