@@ -562,12 +562,14 @@ def trace_paths(
     # wave 2+ most lanes are dead (RR + misses) but still cost ~48% of
     # frame time at 1080p. After the second wave, sort the state
     # alive-first and — when the survivors fit — run the remaining loop
-    # at HALF the batch size, scattering the accumulated radiance back.
-    # Exact by construction: the sliced-away rows are all inactive (the
-    # sort puts actives first and the cond proves they fit), and inactive
-    # rays contribute nothing downstream. When survivors exceed the
-    # capacity (bright/specular scenes), the full-size loop runs instead.
-    n_cap = max(-(-(n // 2) // PACKET_COMPACT) * PACKET_COMPACT,
+    # at 5/8 of the batch size, scattering the accumulated radiance back.
+    # (Interior scenes measure ~0.75 per-wave survival, so ~56% of rays
+    # are still alive entering wave 2 — a half-size capacity misses them
+    # on the hardest bands.) Exact by construction: the sliced-away rows
+    # are all inactive (the sort puts actives first and the cond proves
+    # they fit), and inactive rays contribute nothing downstream. When
+    # survivors exceed the capacity, the full-size loop runs instead.
+    n_cap = max(-(-(5 * n // 8) // PACKET_COMPACT) * PACKET_COMPACT,
                 PACKET_COMPACT)
     if n_cap >= n:
         carry = jax.lax.while_loop(cond, body, carry)
