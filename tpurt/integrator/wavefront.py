@@ -558,74 +558,99 @@ def trace_paths(
 
     # ---- wave compaction -----------------------------------------------
     # Every wave iteration pays full-batch XLA machinery (gathers, BSDF,
-    # NEE sampling, film math) regardless of how many rays survive; by
-    # wave 2+ most lanes are dead (RR + misses) but still cost ~48% of
-    # frame time at 1080p. After the second wave, sort the state
-    # alive-first and — when the survivors fit — run the remaining loop
-    # at 5/8 of the batch size, scattering the accumulated radiance back.
-    # (Interior scenes measure ~0.75 per-wave survival, so ~56% of rays
-    # are still alive entering wave 2 — a half-size capacity misses them
-    # on the hardest bands.) Exact by construction: the sliced-away rows
-    # are all inactive (the sort puts actives first and the cond proves
-    # they fit), and inactive rays contribute nothing downstream. When
-    # survivors exceed the capacity, the full-size loop runs instead.
-    n_cap = max(-(-(5 * n // 8) // PACKET_COMPACT) * PACKET_COMPACT,
-                PACKET_COMPACT)
-    if n_cap >= n:
+    # NEE sampling, film math) regardless of how many rays survive; late
+    # waves are mostly dead lanes but still cost ~48% of frame time at
+    # 1080p. A capacity LADDER shrinks the batch as rays die: after the
+    # second wave (and every two waves thereafter) the state is sorted
+    # alive-first and — when the survivors fit the next capacity — the
+    # remaining work runs at 3/4, then 3/8, of the original size, with
+    # the accumulated radiance scattered back through the inverse
+    # permutation. Exact by construction: the sliced-away rows are all
+    # inactive (the sort puts actives first and the cond proves they
+    # fit), and inactive rays contribute nothing downstream. When
+    # survivors exceed a capacity, the loop simply continues at the
+    # current size (forced-compact probes measured ~24% of band time in
+    # the sizes the single-stage version left on the table).
+    def _round_cap(x):
+        return max(-(-x // PACKET_COMPACT) * PACKET_COMPACT, PACKET_COMPACT)
+
+    caps = []
+    for frac in (3 * n // 4, 3 * n // 8):
+        c = _round_cap(frac)
+        if c < n and (not caps or c < caps[-1]):
+            caps.append(c)
+
+    def _to_args(c):
+        return (c[0], c[1], c[2], c[4], c[5], c[6], c[7], c[8])
+
+    def _tail(args, caps_left):
+        """(o, d, state, throughput, albedo_prod, depth, rays_traced,
+        active) -> (radiance_delta (m, 3), rays_traced). Runs the wave
+        loop, descending the capacity ladder when survivors fit."""
+        from tpurt.bvh.traverse import _sort_rays
+
+        m = args[0].shape[0]
+        caps_here = [c for c in caps_left if c < m]
+        if not caps_here:
+            c = jax.lax.while_loop(
+                cond, body,
+                (args[0], args[1], args[2], jnp.zeros((m, 3), jnp.float32),
+                 args[3], args[4], args[5], args[6], args[7]))
+            return c[3], c[7]
+        cap = caps_here[0]
+
+        def full_fn(a):
+            c = jax.lax.while_loop(
+                cond, body,
+                (a[0], a[1], a[2], jnp.zeros((m, 3), jnp.float32),
+                 a[3], a[4], a[5], a[6], a[7]))
+            return c[3], c[7]
+
+        def compact_fn(a):
+            (o, d, state, throughput, albedo_prod, depth, rays_traced,
+             active) = a
+            key = (~active).astype(jnp.int32)  # actives first
+            orig, cols = _sort_rays(
+                key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                      state, throughput, albedo_prod[:, 0],
+                      albedo_prod[:, 1], albedo_prod[:, 2], depth, active))
+            (o0, o1, o2, d0, d1, d2, st, tp, a0, a1, a2, dp, ac) = (
+                col[:cap] for col in cols)
+            sub = (
+                jnp.stack([o0, o1, o2], axis=1),
+                jnp.stack([d0, d1, d2], axis=1),
+                st,
+                jnp.zeros((cap, 3), jnp.float32),
+                tp,
+                jnp.stack([a0, a1, a2], axis=1),
+                dp,
+                rays_traced,
+                ac,
+            )
+            # two waves at this capacity, then descend further if possible
+            sub, _ = wave(sub, 1)
+            sub, _ = wave(sub, 1)
+            rad_deep, rt = _tail(_to_args(sub), caps_here[1:])
+            rad_cap = sub[3] + rad_deep
+            rad_sorted = jnp.concatenate(
+                [rad_cap, jnp.zeros((m - cap, 3), jnp.float32)])
+            _, (r0, r1, r2) = _sort_rays(
+                orig, (rad_sorted[:, 0], rad_sorted[:, 1], rad_sorted[:, 2]))
+            return jnp.stack([r0, r1, r2], axis=1), rt
+
+        alive = jnp.sum(args[7].astype(jnp.int32))
+        return jax.lax.cond(alive <= cap, compact_fn, full_fn, args)
+
+    if not caps:
         carry = jax.lax.while_loop(cond, body, carry)
         if return_stats:
             return carry[3], carry[7]
         return carry[3]
 
     carry, _ = wave(carry, 1)
-    (o_c, d_c, state_c, radiance, throughput_c, albedo_c, depth_c,
-     rays_traced, active_c) = carry
-
-    def tail_full(args):
-        (o, d, state, throughput, albedo_prod, depth, rays_traced,
-         active) = args
-        c = jax.lax.while_loop(
-            cond, body,
-            (o, d, state, jnp.zeros((n, 3), jnp.float32), throughput,
-             albedo_prod, depth, rays_traced, active))
-        return c[3], c[7]
-
-    def tail_compact(args):
-        from tpurt.bvh.traverse import _sort_rays
-
-        (o, d, state, throughput, albedo_prod, depth, rays_traced,
-         active) = args
-        key = (~active).astype(jnp.int32)  # actives first (stable)
-        orig, cols = _sort_rays(
-            key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-                  state, throughput, albedo_prod[:, 0], albedo_prod[:, 1],
-                  albedo_prod[:, 2], depth, active))
-        (o0, o1, o2, d0, d1, d2, st, tp, a0, a1, a2, dp, ac) = (
-            c[:n_cap] for c in cols)
-        sub = (
-            jnp.stack([o0, o1, o2], axis=1),
-            jnp.stack([d0, d1, d2], axis=1),
-            st,
-            jnp.zeros((n_cap, 3), jnp.float32),
-            tp,
-            jnp.stack([a0, a1, a2], axis=1),
-            dp,
-            rays_traced,
-            ac,
-        )
-        c = jax.lax.while_loop(cond, body, sub)
-        rad_sorted = jnp.concatenate(
-            [c[3], jnp.zeros((n - n_cap, 3), jnp.float32)])
-        _, (r0, r1, r2) = _sort_rays(
-            orig, (rad_sorted[:, 0], rad_sorted[:, 1], rad_sorted[:, 2]))
-        return jnp.stack([r0, r1, r2], axis=1), c[7]
-
-    alive = jnp.sum(active_c.astype(jnp.int32))
+    radiance = carry[3]
     with jax.named_scope("wave_compact"):
-        rad_tail, rays_traced = jax.lax.cond(
-            alive <= n_cap, tail_compact, tail_full,
-            (o_c, d_c, state_c, throughput_c, albedo_c, depth_c,
-             rays_traced, active_c))
+        rad_tail, rays_traced = _tail(_to_args(carry), caps)
     radiance = radiance + rad_tail
     if return_stats:
         return radiance, rays_traced
