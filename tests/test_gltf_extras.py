@@ -95,3 +95,61 @@ def test_multi_primitive_mesh(tmp_path):
     assert len(scene.geometries) == 2
     assert scene.geometries[0].material_index == 0
     assert scene.geometries[1].material_index == 1
+
+
+def test_sparse_accessor(tmp_path):
+    """Sparse accessors substitute over the base view — and over implicit
+    zeros when the accessor has no bufferView (glTF 2.0 §3.6.2.3 /
+    cgltf_load_buffers semantics)."""
+    import base64
+
+    base_pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [9, 9, 9]],
+                        np.float32)
+    sparse_vals = np.array([[5, 5, 5]], np.float32)   # replaces vertex 3
+    sparse_idx = np.array([3], np.uint16)
+    idx = np.array([0, 1, 2], np.uint16)
+    blob = (base_pos.tobytes() + sparse_vals.tobytes()
+            + sparse_idx.tobytes() + idx.tobytes())
+    o_vals = base_pos.nbytes
+    o_sidx = o_vals + sparse_vals.nbytes
+    o_idx = o_sidx + sparse_idx.nbytes
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0}, "indices": 1}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3", "min": [0, 0, 0], "max": [5, 5, 5],
+             "sparse": {
+                 "count": 1,
+                 "indices": {"bufferView": 2, "componentType": 5123},
+                 "values": {"bufferView": 1},
+             }},
+            {"bufferView": 3, "componentType": 5123, "count": 3,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": base_pos.nbytes},
+            {"buffer": 0, "byteOffset": o_vals,
+             "byteLength": sparse_vals.nbytes},
+            {"buffer": 0, "byteOffset": o_sidx,
+             "byteLength": sparse_idx.nbytes},
+            {"buffer": 0, "byteOffset": o_idx, "byteLength": idx.nbytes},
+        ],
+        "buffers": [{
+            "byteLength": len(blob),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(blob).decode(),
+        }],
+    }
+    path = str(tmp_path / "sparse.gltf")
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    scene = load_gltf(path)
+    want = base_pos.copy()
+    want[3] = [5, 5, 5]
+    np.testing.assert_allclose(scene.positions, want)
