@@ -181,3 +181,22 @@ def test_wide_matches_binary_kernel():
 def test_pick_group_size_wide_scales():
     assert pick_group_size_wide(1000) == 4
     assert pick_group_size_wide(300_000) == 4  # wide tables keep G=4 at scale
+
+
+def test_wide_kernel_gate_parity():
+    """The cond-gated step structure (gate=True, used for incoherent
+    secondary batches) must produce bit-identical hits to the predicated
+    structure (gate=False)."""
+    tris = _random_tris(300, seed=11)
+    tb = build_triangle_bvh(tris, group_size=4)
+    kb = make_wide_kernel_bvh(tb, tris)
+    o, d = _random_rays(1024, seed=12)
+    act = jnp.ones(1024, bool)
+    t0, p0, u0, v0 = traverse_packets(kb, o, d, jnp.zeros(1024), 1e9, act,
+                                      interpret=True, gate=False)
+    t1, p1, u1, v1 = traverse_packets(kb, o, d, jnp.zeros(1024), 1e9, act,
+                                      interpret=True, gate=True)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))

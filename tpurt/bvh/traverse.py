@@ -187,20 +187,24 @@ def intersect_scene(
 
 def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
                 include_spheres=True, active=None, interpret=False,
-                sort_rays=True) -> Hit:
+                sort_rays=True, incoherent=False) -> Hit:
     """Closest-hit dispatcher: Pallas packet kernel when `bvh` is a
     KernelBVH (TPU, scene resident in VMEM), batched XLA walk otherwise.
 
     The packet kernel descends whenever ANY ray of a 1024-ray packet hits a
     node, so incoherent packets walk near the whole tree. `sort_rays` groups
     rays by direction octant (origins are already tile-coherent), which
-    collapses the per-packet visit union for secondary/NEE waves."""
+    collapses the per-packet visit union for secondary/NEE waves.
+    `incoherent` marks secondary-bounce batches: the wide kernel then uses
+    its cond-gated step structure (1.43x on such batches, see
+    pallas_wide._wide_kernel)."""
     from tpurt.kernels import pallas_wide
     from tpurt.kernels.pallas_traverse import KernelBVH, traverse_packets
     from tpurt.kernels.pallas_wide import WideKernelBVH
 
     if isinstance(bvh, WideKernelBVH):
-        traverse_packets = pallas_wide.traverse_packets
+        traverse_packets = partial(pallas_wide.traverse_packets,
+                                   gate=incoherent)
     elif not isinstance(bvh, KernelBVH):
         return intersect_scene(bvh, tri_pos, lights, o, d, t_min, t_max,
                                include_spheres=include_spheres, active=active)

@@ -113,12 +113,16 @@ def _alpha_rejected(scene, h: Hit, mask) -> jnp.ndarray:
 
 
 def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
-           has_alpha: bool, sort_rays: bool = True) -> Hit:
+           has_alpha: bool, sort_rays: bool = True,
+           incoherent: bool = False) -> Hit:
     """Closest-hit trace with the alpha-test re-trace loop (replaces
-    hardware any-hit, raytrace.rahit:57-58)."""
+    hardware any-hit, raytrace.rahit:57-58). `incoherent` marks
+    secondary-bounce batches (selects the wide kernel's cond-gated step,
+    1.43x on those)."""
     hit = closest_hit(
         bvh, scene.tri_pos, scene.lights, o, d, t_min0, cfg.t_max,
         include_spheres=include_spheres, active=active, sort_rays=sort_rays,
+        incoherent=incoherent,
     )
     if not has_alpha:
         return hit
@@ -141,7 +145,7 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
         nh = closest_hit(
             bvh, scene.tri_pos, scene.lights, o, d, t_min, cfg.t_max,
             include_spheres=include_spheres, active=active & rej,
-            sort_rays=SORT_RETRACE,
+            sort_rays=SORT_RETRACE, incoherent=incoherent,
         )
         h = Hit(
             t=jnp.where(rej, nh.t, h.t),
@@ -305,7 +309,8 @@ def trace_paths(
         with jax.named_scope("trace_closest"):
             hit = _trace(scene, bvh, o, d, jnp.zeros(nw), active,
                          include_spheres, cfg, has_alpha,
-                         sort_rays=bool(wave_idx) or SORT_WAVE0)
+                         sort_rays=bool(wave_idx) or SORT_WAVE0,
+                         incoherent=bool(wave_idx))
 
         is_tri = active & (hit.kind == KIND_TRIANGLE)
         rays_traced = rays_traced + jnp.sum(active) + 2.0 * jnp.sum(is_tri)

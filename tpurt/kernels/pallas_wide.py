@@ -267,7 +267,8 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                  t_ref, prim_ref, blk_ref,
                  stack_ref,
                  *, group: int, use_masks: bool, use_opaque: bool,
-                 occlusion: bool, all_definite: bool, resident: bool):
+                 occlusion: bool, all_definite: bool, resident: bool,
+                 gate: bool):
     """Stack-based 8-ary packet traversal (closest-hit or occlusion).
 
     Stack entries: wide node id (>= 0) or -(leaf id + 1). Slot hits of a
@@ -280,6 +281,18 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
     from the committed prim, and ray ACTIVITY is encoded in t_limit
     (inactive rays enter with t_best = -BIG, so no box interval and no
     triangle t can ever pass; see _layout).
+
+    `gate` picks the step structure (a static per-call choice, in-process
+    A/B on the 215k interior at 491k rays):
+      - True: node/leaf paths under lax.cond — 1.43x faster on sorted
+        INCOHERENT closest traces (310 -> 218 ms), where most steps are
+        leaf-heavy or all-miss and skipping the untaken path's ~100-140
+        vector ops dominates the cond's ~3 materialized vector carries.
+      - False: both paths run every step, predicated by is_node masks —
+        ~5% faster on coherent camera tiles and NEE occlusion (53 vs 55,
+        38 vs 43 ms), whose balanced steps make the cond pure overhead.
+    The integrator uses gate=True for secondary-bounce closest traces and
+    gate=False for camera waves and occlusion.
 
     With `resident` the whole 8-octant node table lives in VMEM for the
     entire launch and the kernel indexes it by the packet's prefetched
@@ -297,30 +310,18 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
     stack_ref[0] = jnp.int32(0)  # wide root
 
-    # BOTH the node and leaf paths run UNCONDITIONALLY every step,
-    # predicated by is_node masks: lax.cond-gating them (round-2 first
-    # cut) costs ~1.47x end-to-end — Mosaic materializes the five (8,128)
-    # vector carries through each cond, which dwarfs the ~100 vector ops
-    # of the skipped path (measured 71 -> 48 ms on 480 camera packets at
-    # 215k tris, bit-identical hits). Stack pushes are branch-free scalar
-    # stores (see below). `blocked` rides the carry as f32 (i1 vector
-    # yields fail to legalize). The while body runs _UNROLL steps per
-    # iteration: a Mosaic while iteration carries ~0.9 us of fixed
-    # overhead (carry writeback + loop-back; measured 1175 -> 475
-    # ns/step at 4x), so steps after stack exhaustion are alive-guarded
-    # no-ops and the cond is only checked every _UNROLL steps.
-    def step(carry):
-        sp, t_best, prim, blocked = carry
-        alive = sp > 0
-        # per-ray activity is encoded in t_best (inactive -> -BIG), so the
-        # only vector activity term left is occlusion's blocked early-out
-        active = alive & (blocked == 0.0) if occlusion else alive
-        sp = sp - alive.astype(jnp.int32)
-        entry = jnp.where(alive, stack_ref[jnp.maximum(sp, 0)], jnp.int32(0))
-        is_node = alive & (entry >= 0)
+    # `blocked` rides the carry as f32 (i1 vector yields fail to
+    # legalize). The while body runs _UNROLL steps per iteration: a
+    # Mosaic while iteration carries ~0.9 us of fixed overhead (carry
+    # writeback + loop-back; measured 1175 -> 475 ns/step at 4x), so
+    # steps after stack exhaustion are alive-guarded no-ops and the cond
+    # is only checked every _UNROLL steps.
+    def node_path(entry, active, sp, t_best, is_node):
+        """8 slot tests -> one scalar hitmask -> predicated pushes.
+        is_node=None means the caller cond-gated this path (gate=True);
+        otherwise the hitmask is masked by is_node so a leaf step pushes
+        nothing."""
         row = nb_ref[oct_s, jnp.maximum(entry, 0)]
-
-        # ---- node path: 8 slot tests -> one scalar hitmask --------------
         # pack per-slot packet hits as bits of ONE i32 vector
         hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
         for s in range(8):
@@ -346,22 +347,25 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
             hitbits = hitbits | pltpu.roll(hitbits, shift, 0)
         for shift in (64, 32, 16, 8, 4, 2, 1):
             hitbits = hitbits | pltpu.roll(hitbits, shift, 1)
-        mask_scalar = jnp.where(is_node, hitbits[0, 0], jnp.int32(0))
+        if is_node is None:
+            mask_scalar = hitbits[0, 0]
+        else:
+            mask_scalar = jnp.where(is_node, hitbits[0, 0], jnp.int32(0))
 
         # push far slots first (slots pre-sorted near-to-far per octant);
-        # kind == 0 gates EMPTY slots — their inverted placeholder box does
-        # not fail the slab test (min/max re-sorts the slabs), so the kind
-        # check is what actually excludes them.
+        # kind == 0 gates EMPTY slots — their inverted placeholder box
+        # does not fail the slab test (min/max re-sorts the slabs), so
+        # the kind check is what actually excludes them.
         #
         # Dependent SMEM stores are the expensive part of a step (~100 ns
         # EACH, measured: +865 ns for 8, whether pl.when-predicated or
-        # unconditional — branches and the 16 scalar row loads are ~free).
-        # So: the carried sp advances ARITHMETICALLY outside any branch,
-        # and the stores run under ONE pl.when(mask != 0) — leaf pops and
-        # all-miss node steps (the common cases) skip all 8 stores for
-        # the price of one cheap branch. Inside the block a local cursor
-        # re-derives each store position; skipped entries sit above the
-        # stack top and are overwritten by the next real push.
+        # unconditional — branches and the 16 scalar row loads are
+        # ~free). So: the carried sp advances ARITHMETICALLY outside any
+        # branch, and the stores run under ONE pl.when(mask != 0) — leaf
+        # pops and all-miss node steps (the common cases) skip all 8
+        # stores for the price of one cheap branch. Inside the block a
+        # local cursor re-derives each store position; skipped entries
+        # sit above the stack top and are overwritten by the next push.
         kinds = [row[_KIND0 + s].astype(jnp.int32) for s in range(8)]
         links = [row[_LINK0 + s].astype(jnp.int32) for s in range(8)]
         pushes = [((jnp.right_shift(mask_scalar, s) & 1) > 0)
@@ -378,12 +382,14 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                 stack_ref[sp] = child_entry
                 sp = sp + pushes[s].astype(jnp.int32)
 
-        sp = sp_out
+        return sp_out
 
-        # ---- leaf path: G triangle tests, predicated by ~is_node --------
+    def leaf_path(entry, active, t_best, prim, blocked, is_node):
+        """G triangle tests (is_node semantics as in node_path)."""
         leaf = jnp.maximum(-entry - 1, 0)
         lrow = tr_ref[leaf]
-        lactive = active & jnp.logical_not(is_node)
+        lactive = (active if is_node is None
+                   else active & jnp.logical_not(is_node))
         for k in range(group):
             t_best, prim, hit, testable = _tri_test(
                 lrow, k, t_min, t_best, prim, leaf, lactive,
@@ -399,7 +405,34 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                 if definite is not None:
                     blocked = jnp.maximum(
                         blocked, jnp.where(definite, 1.0, 0.0))
+        return t_best, prim, blocked
 
+    def step(carry):
+        sp, t_best, prim, blocked = carry
+        alive = sp > 0
+        # per-ray activity is encoded in t_best (inactive -> -BIG), so the
+        # only vector activity term left is occlusion's blocked early-out
+        active = alive & (blocked == 0.0) if occlusion else alive
+        sp = sp - alive.astype(jnp.int32)
+        entry = jnp.where(alive, stack_ref[jnp.maximum(sp, 0)], jnp.int32(0))
+        is_node = alive & (entry >= 0)
+
+        if gate:
+            def do_node(sp, t_best, prim, blocked):
+                sp2 = node_path(entry, active, sp, t_best, None)
+                return sp2, t_best, prim, blocked
+
+            def do_leaf(sp, t_best, prim, blocked):
+                t2, p2, b2 = leaf_path(entry, active, t_best, prim,
+                                       blocked, None)
+                return sp, t2, p2, b2
+
+            return jax.lax.cond(is_node, do_node, do_leaf,
+                                sp, t_best, prim, blocked)
+
+        sp = node_path(entry, active, sp, t_best, is_node)
+        t_best, prim, blocked = leaf_path(entry, active, t_best, prim,
+                                          blocked, is_node)
         return sp, t_best, prim, blocked
 
     def body(carry):
@@ -429,10 +462,10 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "group", "occlusion", "all_definite", "interpret"))
+    "group", "occlusion", "all_definite", "gate", "interpret"))
 def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                   tmin, tlim, *, group, occlusion, all_definite,
-                  interpret=False):
+                  gate=False, interpret=False):
     n_packets = ox.shape[0] // _SUB
     w = node_rows.shape[1]
     ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p, oct_ref: (p, 0),
@@ -462,7 +495,7 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     kernel = functools.partial(_wide_kernel, group=group, use_masks=use_masks,
                                use_opaque=use_opaque,
                                occlusion=occlusion, all_definite=all_definite,
-                               resident=resident)
+                               resident=resident, gate=gate)
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.int32),
@@ -533,16 +566,19 @@ def _uv_from_prim(kbvh: WideKernelBVH, o, d, prim):
 
 
 def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
-                     interpret: bool = False):
+                     interpret: bool = False, gate: bool = False):
     """Closest-hit via the wide kernel (same contract as
-    pallas_traverse.traverse_packets)."""
+    pallas_traverse.traverse_packets). `gate=True` selects the
+    cond-gated step structure — 1.43x faster for sorted incoherent
+    (secondary-bounce) batches, ~5% slower for coherent camera tiles
+    (see _wide_kernel)."""
     tribvh = kbvh.tribvh
     t_limit = jnp.full(o.shape[0], t_max, jnp.float32)
     octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active)
     t, prim, _ = _wide_packets(
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=False, all_definite=False,
-        interpret=interpret)
+        gate=gate, interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
     u, v = _uv_from_prim(kbvh, o, d, prim)
