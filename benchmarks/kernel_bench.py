@@ -95,9 +95,13 @@ def main():
 
     results = {}
 
-    def closest(o, d):
+    # need_uv=False: the wrapper's u/v recompute is NOT jitted here, so
+    # with need_uv=True its gather would run eagerly (one dispatch per op)
+    # and add ~30-45 ms of pure dispatch overhead that the jitted
+    # integrator never pays — measuring kernel-only time needs it off
+    def closest(o, d, gate=False):
         t, prim, u, v = pallas_wide.traverse_packets(
-            kbvh, o, d, t_min, cfg.t_max, active)
+            kbvh, o, d, t_min, cfg.t_max, active, gate=gate, need_uv=False)
         return t
 
     # 1) coherent camera packets
@@ -124,7 +128,7 @@ def main():
     obs = jnp.stack([o0, o1, o2], axis=1)
     dbs = jnp.stack([d0, d1, d2], axis=1)
     jax.block_until_ready(obs)
-    dt = _timed(lambda: closest(obs, dbs), args.reps)
+    dt = _timed(lambda: closest(obs, dbs, gate=True), args.reps)
     results["incoherent_closest_ms"] = dt * 1e3
     results["incoherent_closest_mrays"] = n / dt / 1e6
 
@@ -145,7 +149,7 @@ def main():
 
     def occl():
         blocked, t, prim, u, v = pallas_wide.occlusion_packets(
-            kbvh, oos, dls, t_min, tl, active, r.has_alpha)
+            kbvh, oos, dls, t_min, tl, active, r.has_alpha, need_uv=False)
         return blocked
 
     dt = _timed(occl, args.reps)

@@ -1,10 +1,13 @@
 """Profile one 1080p band of the sponza-like config and print device-time
-per integrator phase (the named scopes in integrator/wavefront.py).
+attributed to source file:line (exclusive self-time per HLO op event).
 
-Parses the Chrome-trace JSON that jax.profiler writes and buckets TPU-op
-durations by the leading named scope in the op's long name. This is the
-attribution tool for the XLA-side wave machinery (~half of frame time at
-round-2 end).
+Parses the Chrome-trace JSON that jax.profiler writes. TPU op events nest
+(a `while` event contains its body's op events) and carry a `source`
+file:line, so the tool computes exclusive times with an interval stack and
+buckets them by source line. NOTE: XLA collapses fused-op metadata to the
+enclosing control-flow line, so ops inside the wave while-loop mostly
+attribute to the lax.cond/while call site in trace_paths — kernel
+custom-calls and gathers still attribute precisely.
 
 Usage: python benchmarks/profile_band.py [--rows 256] [--row0 400]
 """
@@ -23,22 +26,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-
-SCOPES = (
-    "trace_closest", "alpha_retrace", "raysort", "rayunsort", "hitresolve",
-    "shade_attrs", "textures", "nee_sample", "trace_shadow", "shadow_spheres",
-    "occl_recheck", "shadow_payload", "mis_weights", "bounce", "wave_compact",
-)
-
-
-def bucket_of(name: str) -> str:
-    for s in SCOPES:
-        if s in name:
-            return s
-    if "wide_kernel" in name or "pallas" in name.lower():
-        return "pallas_kernel(unscoped)"
-    return "other"
-
 
 def main():
     ap = argparse.ArgumentParser()
@@ -84,38 +71,43 @@ def main():
     with gzip.open(files[-1], "rt") as f:
         trace = json.load(f)
 
-    # device-op events live on TPU pid tracks; host python/runtime events
-    # are filtered by requiring the XLA "long_name"/"run_id" style args
+    # device-op events live on the TPU pid's "XLA Ops" thread; they carry
+    # only the HLO instruction name (e.g. "while.521") plus a `source`
+    # file:line. Events NEST (a while contains its body's op events), so
+    # attribution uses EXCLUSIVE self-time via an interval stack, bucketed
+    # by source line.
     pid_names = {}
+    tid_names = {}
     for ev in trace["traceEvents"]:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name":
             pid_names[ev["pid"]] = ev["args"].get("name", "")
-    device_pids = {p for p, n in pid_names.items()
-                   if "TPU" in n or "tpu" in n or "/device" in n}
+        if ev.get("name") == "thread_name":
+            tid_names[(ev["pid"], ev.get("tid"))] = ev["args"].get("name", "")
+    op_tracks = {k for k, n in tid_names.items()
+                 if n == "XLA Ops" and "TPU" in pid_names.get(k[0], "")}
 
-    buckets = collections.Counter()
-    op_names = collections.Counter()
-    total = 0.0
-    for ev in trace["traceEvents"]:
-        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
-            continue
-        # XLA op events carry the scope path in args.long_name (or name)
-        nm = (ev.get("args") or {}).get("long_name", ev.get("name", ""))
-        dur = ev.get("dur", 0) / 1e6  # us -> s
-        # skip track-level summary events that span the whole step
-        if ev.get("name", "").startswith("XLA Modules"):
-            continue
-        b = bucket_of(nm)
-        buckets[b] += dur
-        op_names[(b, ev.get("name", "")[:60])] += dur
-        total += dur
+    evs = [ev for ev in trace["traceEvents"]
+           if ev.get("ph") == "X" and (ev.get("pid"), ev.get("tid")) in op_tracks]
+    evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+    excl = collections.Counter()
+    stack = []  # (end_ts, bucket_key)
+    for ev in evs:
+        ts, dur = ev["ts"], ev["dur"]
+        src = (ev.get("args") or {}).get("source") or "?"
+        key = src.split("/")[-1]
+        while stack and stack[-1][0] <= ts + 1e-9:
+            stack.pop()
+        if stack:
+            excl[stack[-1][1]] -= dur  # self-time: children subtract
+        excl[key] += dur
+        stack.append((ts + dur, key))
 
-    print(f"\ndevice total: {total:.3f} s  ({args.rows} rows x {width})")
-    for b, t in buckets.most_common():
-        print(f"  {b:28s} {t:8.3f} s  {100 * t / max(total, 1e-9):5.1f}%")
-    print("\ntop ops:")
-    for (b, nm), t in op_names.most_common(25):
-        print(f"  {t:8.3f} s  [{b}] {nm}")
+    total = sum(excl.values()) / 1e6
+    print(f"\ndevice total (exclusive): {total:.3f} s  ({args.rows} rows x {width})")
+    for k, v in excl.most_common(25):
+        print(f"  {v / 1e6:8.3f} s  {100 * v / 1e6 / max(total, 1e-9):5.1f}%  {k}")
 
 
 if __name__ == "__main__":

@@ -488,9 +488,12 @@ def _layout(o, d, t_min, t_limit, active):
 
 
 def traverse_packets(kbvh: SWideKernelBVH, o, d, t_min, t_max, active,
-                     interpret: bool = False):
+                     interpret: bool = False, gate: bool = False,
+                     need_uv: bool = True):
     """Closest-hit via the swide kernel (same contract as
-    pallas_wide.traverse_packets)."""
+    pallas_wide.traverse_packets; `gate`/`need_uv` accepted for interface
+    parity — the swide step has no cond-gated variant and computes u/v
+    in-kernel anyway)."""
     t_limit = jnp.full(o.shape[0], t_max, jnp.float32)
     octants, *rays, n = _layout(o, d, t_min, t_limit, active)
     # masks never apply on the closest path (the XLA recheck reads the
@@ -504,9 +507,10 @@ def traverse_packets(kbvh: SWideKernelBVH, o, d, t_min, t_max, active,
 
 
 def occlusion_packets(kbvh: SWideKernelBVH, o, d, t_min, t_limit, active,
-                      scene_has_alpha: bool, interpret: bool = False):
+                      scene_has_alpha: bool, interpret: bool = False,
+                      need_uv: bool = True):
     """Occlusion query via the swide kernel (same contract as
-    pallas_wide.occlusion_packets)."""
+    pallas_wide.occlusion_packets; need_uv accepted for parity)."""
     octants, *rays, n = _layout(o, d, t_min, t_limit, active)
     # scene_has_alpha implies real mask lanes were packed (see
     # SWideKernelBVH docstring)

@@ -45,7 +45,9 @@ from tpurt.bvh.lbvh import TriBVH
 PACKET = 1024
 _SUB, _LANE = 8, 128
 _STACK = 256
-_UNROLL = 4  # traversal steps per while iteration (see _wide_kernel)
+_UNROLL = 4  # traversal steps per while iteration (see _wide_kernel); A/B
+# against 8/16 on the 215k interior showed no consistent winner (run-to-run
+# variance ±20% dominates), so the lower compile-size unroll stays
 # whole-table VMEM residency ceiling (node + leaf tables, bytes); v5e has
 # 128 MB of VMEM and the measured-safe scoped limit with resident tables
 # is ~118 MB (96 MB otherwise)
@@ -268,7 +270,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                  stack_ref,
                  *, group: int, use_masks: bool, use_opaque: bool,
                  occlusion: bool, all_definite: bool, resident: bool,
-                 gate: bool):
+                 gate: bool, unroll: int):
     """Stack-based 8-ary packet traversal (closest-hit or occlusion).
 
     Stack entries: wide node id (>= 0) or -(leaf id + 1). Slot hits of a
@@ -436,7 +438,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         return sp, t_best, prim, blocked
 
     def body(carry):
-        for _ in range(_UNROLL):
+        for _ in range(unroll):
             carry = step(carry)
         return carry
 
@@ -462,10 +464,10 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "group", "occlusion", "all_definite", "gate", "interpret"))
+    "group", "occlusion", "all_definite", "gate", "unroll", "interpret"))
 def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                   tmin, tlim, *, group, occlusion, all_definite,
-                  gate=False, interpret=False):
+                  gate=False, unroll=_UNROLL, interpret=False):
     n_packets = ox.shape[0] // _SUB
     w = node_rows.shape[1]
     ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p, oct_ref: (p, 0),
@@ -495,7 +497,7 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     kernel = functools.partial(_wide_kernel, group=group, use_masks=use_masks,
                                use_opaque=use_opaque,
                                occlusion=occlusion, all_definite=all_definite,
-                               resident=resident, gate=gate)
+                               resident=resident, gate=gate, unroll=unroll)
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.int32),
@@ -566,39 +568,51 @@ def _uv_from_prim(kbvh: WideKernelBVH, o, d, prim):
 
 
 def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
-                     interpret: bool = False, gate: bool = False):
+                     interpret: bool = False, gate: bool = False,
+                     need_uv: bool = True, unroll: int = _UNROLL):
     """Closest-hit via the wide kernel (same contract as
     pallas_traverse.traverse_packets). `gate=True` selects the
     cond-gated step structure — 1.43x faster for sorted incoherent
     (secondary-bounce) batches, ~5% slower for coherent camera tiles
-    (see _wide_kernel)."""
+    (see _wide_kernel). With need_uv=False the u/v recompute (a (T, 9)
+    row gather + fusion, ~8% of band device time when run per trace) is
+    skipped and zeros are returned — the integrator recomputes
+    barycentrics inside its shade/alpha row gathers instead."""
     tribvh = kbvh.tribvh
     t_limit = jnp.full(o.shape[0], t_max, jnp.float32)
     octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active)
     t, prim, _ = _wide_packets(
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=False, all_definite=False,
-        gate=gate, interpret=interpret)
+        gate=gate, unroll=unroll, interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
-    u, v = _uv_from_prim(kbvh, o, d, prim)
+    if need_uv:
+        u, v = _uv_from_prim(kbvh, o, d, prim)
+    else:
+        u = v = jnp.zeros_like(t)
     return t, prim, u, v
 
 
 def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
-                      scene_has_alpha: bool, interpret: bool = False):
+                      scene_has_alpha: bool, interpret: bool = False,
+                      need_uv: bool = True, unroll: int = _UNROLL):
     """Occlusion query via the wide kernel (same contract as
-    pallas_traverse.occlusion_packets)."""
+    pallas_traverse.occlusion_packets). need_uv as in traverse_packets."""
     tribvh = kbvh.tribvh
     octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active)
     t, prim, blocked = _wide_packets(
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=True,
-        all_definite=not scene_has_alpha, interpret=interpret)
+        all_definite=not scene_has_alpha, unroll=unroll,
+        interpret=interpret)
     blocked = blocked.reshape(-1)[:n] > 0.0
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
-    u, v = _uv_from_prim(kbvh, o, d, prim)
+    if need_uv:
+        u, v = _uv_from_prim(kbvh, o, d, prim)
+    else:
+        u = v = jnp.zeros_like(t)
     return blocked, t, prim, u, v
 
 
