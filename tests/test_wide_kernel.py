@@ -200,3 +200,66 @@ def test_wide_kernel_gate_parity():
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
     np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+def test_bf16_boxes_contain_f32_boxes():
+    """Conservative rounding property: every bf16 box strictly contains
+    its f32 counterpart (mins rounded down, maxes up)."""
+    import ml_dtypes
+
+    from tpurt.kernels.pallas_wide import (_BOX0, pack_scene_for_wide_kernel)
+
+    tris = _random_tris(333, seed=21)
+    tb = build_triangle_bvh(tris, group_size=4)
+    rows32, _ = pack_scene_for_wide_kernel(tb, tris)
+    rows16, _ = pack_scene_for_wide_kernel(tb, tris,
+                                           box_dtype=ml_dtypes.bfloat16)
+    assert rows16.dtype == jnp.bfloat16
+    b32 = np.asarray(rows32)[:, :, _BOX0:_BOX0 + 48].reshape(8, -1, 8, 6)
+    b16 = np.asarray(rows16)[:, :, _BOX0:_BOX0 + 48].astype(
+        np.float32).reshape(8, -1, 8, 6)
+    assert (b16[..., 0:3] <= b32[..., 0:3]).all()  # mins
+    assert (b16[..., 3:6] >= b32[..., 3:6]).all()  # maxes
+
+
+def test_bf16_round_conservative_randoms():
+    from tpurt.kernels.pallas_wide import _bf16_round
+
+    rng = np.random.RandomState(7)
+    x = np.concatenate([
+        rng.randn(4096).astype(np.float32) * rng.choice(
+            [1e-30, 1e-3, 1.0, 1e3, 1e30], 4096),
+        np.array([0.0, -0.0, 3.0e38, -3.0e38, 1e-39], np.float32),
+    ])
+    dn = _bf16_round(x, up=False).astype(np.float32)
+    up = _bf16_round(x, up=True).astype(np.float32)
+    assert (dn <= x).all()
+    assert (up >= x).all()
+
+
+def test_bf16_tables_identical_hits():
+    """bf16 boxes only widen node visits, so closest hits and occlusion
+    results are bit-identical to the f32 tables."""
+    import ml_dtypes
+
+    tris = _random_tris(300, seed=22)
+    tb = build_triangle_bvh(tris, group_size=4)
+    kb32 = make_wide_kernel_bvh(tb, tris)
+    kb16 = make_wide_kernel_bvh(tb, tris, box_dtype=ml_dtypes.bfloat16)
+    o, d = _random_rays(2048, seed=23)
+    act = jnp.ones(2048, bool)
+    t0, p0, u0, v0 = traverse_packets(kb32, o, d, jnp.zeros(2048), 1e9, act,
+                                      interpret=True)
+    t1, p1, u1, v1 = traverse_packets(kb16, o, d, jnp.zeros(2048), 1e9, act,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+    from tpurt.kernels.pallas_wide import occlusion_packets
+
+    tl = jnp.full(2048, 6.0)
+    b0, *_ = occlusion_packets(kb32, o, d, jnp.zeros(2048), tl, act, False,
+                               interpret=True)
+    b1, *_ = occlusion_packets(kb16, o, d, jnp.zeros(2048), tl, act, False,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))

@@ -52,10 +52,19 @@ _UNROLL = 4  # traversal steps per while iteration (see _wide_kernel); A/B
 # 128 MB of VMEM and the measured-safe scoped limit with resident tables
 # is ~118 MB (96 MB otherwise)
 _RESIDENT_BUDGET = 104 * 2 ** 20
-# node row lane layout
+# node row lane layout (f32 tables)
 _BOX0 = 0      # 8 slots x [minx,miny,minz,maxx,maxy,maxz] = 48 lanes
 _LINK0 = 48    # 8 slots: child wide id / leaf id (exact small int in f32)
 _KIND0 = 56    # 8 slots: 0 empty, 1 internal, 2 leaf
+# bf16 node rows halve the table bytes (same 128 lanes, 2 B each): boxes
+# are conservatively rounded OUTWARD (mins down, maxes up — strict
+# containment of the f32 boxes, so traversal visits a superset of nodes
+# and commits identical hits); links don't fit bf16's 8-bit significand,
+# so each link is split into three base-256 lanes (hi, mid, lo)
+_BLINKH0 = 48  # link >> 16
+_BLINKM0 = 56  # (link >> 8) & 255
+_BLINKL0 = 64  # link & 255
+_BKIND0 = 72
 _BIG = 3.0e38
 
 
@@ -128,8 +137,32 @@ def collapse_to_wide(tribvh: TriBVH) -> tuple:
     return child_node, wide_of_binary
 
 
+def _bf16_round(x: np.ndarray, up: bool) -> np.ndarray:
+    """Round f32 -> bf16 conservatively (up=False: result <= x; up=True:
+    result >= x), by stepping one bf16 ulp past a round-to-nearest cast
+    whenever that cast landed on the wrong side."""
+    import ml_dtypes
+
+    b = x.astype(ml_dtypes.bfloat16)
+    f = b.astype(np.float32)
+    bits = b.view(np.uint16)
+    neg = (bits & np.uint16(0x8000)) != 0
+    is_zero = (bits & np.uint16(0x7FFF)) == 0
+    if up:
+        need = f < x
+        stepped = np.where(neg, bits - np.uint16(1), bits + np.uint16(1))
+        stepped = np.where(is_zero, np.uint16(0x0001), stepped)  # +min_sub
+    else:
+        need = f > x
+        stepped = np.where(neg, bits + np.uint16(1), bits - np.uint16(1))
+        stepped = np.where(is_zero, np.uint16(0x8001), stepped)  # -min_sub
+    out = np.where(need, stepped, bits)
+    return out.view(ml_dtypes.bfloat16)
+
+
 def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
-                               tri_alpha_mask=None, tri_alpha_opaque=None):
+                               tri_alpha_mask=None, tri_alpha_opaque=None,
+                               box_dtype=np.float32):
     """Build (node_rows (8, W, 128), tri_rows (L, G*9[+G][+G]+G)) for the
     wide kernel. Requires identity leaf order (build_triangle_bvh) and
     group_size*9 <= 128 like the binary packer. With tri_alpha_opaque (and
@@ -162,7 +195,17 @@ def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
 
     # per-octant slot sort: nearest child first along the octant direction
     centers = 0.5 * (cmin + cmax)              # (W, 8, 3)
-    rows = np.zeros((8, w, _LANE), np.float32)
+    bf16 = np.dtype(box_dtype).itemsize == 2
+    if bf16:
+        import ml_dtypes
+
+        assert int(link.max(initial=0)) < (1 << 24), \
+            "bf16 rows encode links in three base-256 lanes (< 2^24)"
+        cmin = _bf16_round(cmin.astype(np.float32), up=False).astype(np.float32)
+        cmax = _bf16_round(cmax.astype(np.float32), up=True).astype(np.float32)
+        rows = np.zeros((8, w, _LANE), ml_dtypes.bfloat16)
+    else:
+        rows = np.zeros((8, w, _LANE), np.float32)
     for o in range(8):
         sign = np.array([1 - 2 * ((o >> 2) & 1), 1 - 2 * ((o >> 1) & 1),
                          1 - 2 * (o & 1)], np.float64)
@@ -172,8 +215,15 @@ def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
         gi = np.arange(w)[:, None]
         box = np.concatenate([cmin[gi, order], cmax[gi, order]], axis=2)
         rows[o, :, _BOX0:_BOX0 + 48] = box.reshape(w, 48)
-        rows[o, :, _LINK0:_LINK0 + 8] = link[gi, order]
-        rows[o, :, _KIND0:_KIND0 + 8] = kind[gi, order]
+        if bf16:
+            lo = link[gi, order]
+            rows[o, :, _BLINKH0:_BLINKH0 + 8] = (lo >> 16).astype(np.float32)
+            rows[o, :, _BLINKM0:_BLINKM0 + 8] = ((lo >> 8) & 255).astype(np.float32)
+            rows[o, :, _BLINKL0:_BLINKL0 + 8] = (lo & 255).astype(np.float32)
+            rows[o, :, _BKIND0:_BKIND0 + 8] = kind[gi, order]
+        else:
+            rows[o, :, _LINK0:_LINK0 + 8] = link[gi, order]
+            rows[o, :, _KIND0:_KIND0 + 8] = kind[gi, order]
 
     tri_sorted = tri_pos[tribvh.tri_order]
     tri_rows = tri_sorted.reshape(bvh.num_leaves, g * 9)
@@ -195,10 +245,31 @@ def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
 
 def make_wide_kernel_bvh(tribvh: TriBVH, tri_pos: jnp.ndarray,
                          tri_alpha_mask=None,
-                         tri_alpha_opaque=None) -> "WideKernelBVH":
+                         tri_alpha_opaque=None,
+                         box_dtype=None) -> "WideKernelBVH":
+    """box_dtype None = auto: f32 node rows while the whole table set fits
+    the VMEM residency budget, bf16 (half the node bytes, conservative
+    boxes — identical hits, see pack_scene_for_wide_kernel) once an f32
+    table would spill to per-packet DMA. Analogous memory squeeze to the
+    reference's driver-compacted BLAS
+    (AccelerationStructureBuilder.cpp:449-471)."""
+    if box_dtype is None:
+        import ml_dtypes
+
+        # exact W (wide-node count): binary internals at depth % 3 == 0 —
+        # the same set collapse_to_wide promotes (a conservative
+        # n_leaves/2 estimate would flip 215k-tri scenes to bf16 even
+        # though their real f32 tables fit: W there is ~0.32 * leaves)
+        depth = _binary_depths(np.asarray(tribvh.bvh.left).astype(np.int64),
+                               np.asarray(tribvh.bvh.right).astype(np.int64))
+        w = int((depth % 3 == 0).sum())
+        f32_bytes = (8 * w + tribvh.bvh.num_leaves) * _LANE * 4
+        box_dtype = (np.float32 if f32_bytes < _RESIDENT_BUDGET
+                     else ml_dtypes.bfloat16)
     node_rows, tri_rows = pack_scene_for_wide_kernel(tribvh, tri_pos,
                                                      tri_alpha_mask,
-                                                     tri_alpha_opaque)
+                                                     tri_alpha_opaque,
+                                                     box_dtype=box_dtype)
     return WideKernelBVH(tribvh=tribvh, node_rows=node_rows,
                          tri_rows=tri_rows, tri_pos=jnp.asarray(tri_pos))
 
@@ -324,16 +395,24 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         otherwise the hitmask is masked by is_node so a leaf step pushes
         nothing."""
         row = nb_ref[oct_s, jnp.maximum(entry, 0)]
+        bf16 = nb_ref.dtype == jnp.bfloat16
+
+        def blane(i):
+            # box lanes: bf16 tables widen each scalar to f32 at read —
+            # conversions ride the scalar unit, the vector math is f32
+            # either way
+            return row[i].astype(jnp.float32) if bf16 else row[i]
+
         # pack per-slot packet hits as bits of ONE i32 vector
         hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
         for s in range(8):
             b = s * 6
-            t0x = (row[_BOX0 + b + 0] - ox) * inv_x
-            t0y = (row[_BOX0 + b + 1] - oy) * inv_y
-            t0z = (row[_BOX0 + b + 2] - oz) * inv_z
-            t1x = (row[_BOX0 + b + 3] - ox) * inv_x
-            t1y = (row[_BOX0 + b + 4] - oy) * inv_y
-            t1z = (row[_BOX0 + b + 5] - oz) * inv_z
+            t0x = (blane(_BOX0 + b + 0) - ox) * inv_x
+            t0y = (blane(_BOX0 + b + 1) - oy) * inv_y
+            t0z = (blane(_BOX0 + b + 2) - oz) * inv_z
+            t1x = (blane(_BOX0 + b + 3) - ox) * inv_x
+            t1y = (blane(_BOX0 + b + 4) - oy) * inv_y
+            t1z = (blane(_BOX0 + b + 5) - oz) * inv_z
             tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                          jnp.minimum(t0y, t1y)),
                              jnp.maximum(jnp.minimum(t0z, t1z), t_min))
@@ -368,8 +447,14 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         # stores for the price of one cheap branch. Inside the block a
         # local cursor re-derives each store position; skipped entries
         # sit above the stack top and are overwritten by the next push.
-        kinds = [row[_KIND0 + s].astype(jnp.int32) for s in range(8)]
-        links = [row[_LINK0 + s].astype(jnp.int32) for s in range(8)]
+        if bf16:
+            kinds = [row[_BKIND0 + s].astype(jnp.int32) for s in range(8)]
+            links = [row[_BLINKH0 + s].astype(jnp.int32) * 65536
+                     + row[_BLINKM0 + s].astype(jnp.int32) * 256
+                     + row[_BLINKL0 + s].astype(jnp.int32) for s in range(8)]
+        else:
+            kinds = [row[_KIND0 + s].astype(jnp.int32) for s in range(8)]
+            links = [row[_LINK0 + s].astype(jnp.int32) for s in range(8)]
         pushes = [((jnp.right_shift(mask_scalar, s) & 1) > 0)
                   & (kinds[s] > 0) for s in range(8)]
         sp_out = sp
@@ -480,7 +565,8 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     # immunity to octant-incoherent packet order). Fall back to per-packet
     # octant blocks (one block resident, re-DMAed on octant change) for
     # scenes beyond the ceiling.
-    table_bytes = (8 * w * _LANE + tri_rows.shape[0] * _LANE) * 4
+    table_bytes = (8 * w * _LANE * node_rows.dtype.itemsize
+                   + tri_rows.shape[0] * _LANE * 4)
     resident = table_bytes < _RESIDENT_BUDGET
     nodes_spec = full if resident else pl.BlockSpec(
         (1, w, _LANE), lambda p, oct_ref: (oct_ref[p], 0, 0),
@@ -620,9 +706,14 @@ def _wide_vmem_bytes(n_leaves: int) -> int:
     """Physical VMEM: double-buffered octant node slice + leaf table.
     W <= ceil((n_leaves - 1) / 2) wide nodes for any collapse (every wide
     node absorbs >= 2 binary internals except possibly the last level);
-    conservatively budget W = n_leaves / 2."""
+    conservatively budget W = n_leaves / 2. Mirrors make_wide_kernel_bvh's
+    dtype auto-selection: node rows count 2 B/lane (bf16) whenever the f32
+    table set would exceed the residency budget."""
     w = max(n_leaves // 2, 2)
-    return (2 * w + n_leaves) * _LANE * 4
+    node_item = 4
+    if (8 * w + n_leaves) * _LANE * 4 >= _RESIDENT_BUDGET:
+        node_item = 2  # auto-selected bf16 node rows
+    return (2 * w * node_item + n_leaves * 4) * _LANE
 
 
 def wide_supported(tribvh: TriBVH, vmem_budget_bytes=80 * 2 ** 20) -> bool:

@@ -18,9 +18,11 @@ import jax.numpy as jnp
 
 # 1/2^32 as float32; the reference multiplies by uintBitsToFloat(0x2f800004)
 # (rng.glsl:13) which is 2^-32 * (1 + 2^-21); we use exact 2^-32 and clamp so
-# uniforms stay in [0, 1).
-_INV_2_32 = jnp.float32(2.3283064365386963e-10)
-_ONE_MINUS_EPS = jnp.float32(1.0 - 2 ** -24)
+# uniforms stay in [0, 1). Plain Python floats (NOT jnp scalars): a jnp
+# constant at import time would initialize the default JAX backend before
+# the CLI's --platform override can apply.
+_INV_2_32 = 2.3283064365386963e-10
+_ONE_MINUS_EPS = 1.0 - 2.0 ** -24
 
 
 def _u32(x) -> jnp.ndarray:
