@@ -45,7 +45,7 @@ Faithfully replicated reference semantics (each with citation):
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -267,6 +267,235 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
     return rgb, a, is_miss
 
 
+class Shade(NamedTuple):
+    """Per-hit shading state (the locals of triangle.rchit:120-184)."""
+
+    hit_point: jnp.ndarray   # (N, 3)
+    shading_n: jnp.ndarray   # (N, 3) normal-mapped shading normal
+    albedo: jnp.ndarray      # (N, 3) factor x texture
+    emissive: jnp.ndarray    # (N, 3)
+    alpha: jnp.ndarray       # (N,) Beckmann alpha (roughnessToAlpha)
+
+
+def shade_hit(scene: DeviceScene, cfg: RenderConfig,
+              tex_flags: Tuple[bool, bool, bool, bool],
+              o, d, hit: Hit) -> Shade:
+    """Hit-attribute interpolation + material/texture evaluation
+    (triangle.rchit:120-184). ONE fat row gather per shaded ray
+    (DeviceScene.tri_shade_row): uv/normal/tangent vertices + the hit
+    material's factors and texture ids, replacing ~12 separate gathers
+    (scalar-path 1-D gathers cost ~8 ns/element on v5e; the row gather
+    rides DMA).
+
+    tex_flags = (albedo, metallic-roughness, normal, emissive): static
+    scene-level booleans; texture slots unused by every material skip
+    their sampling entirely (each slot costs 4 gather taps per wave)."""
+    with jax.named_scope("shade_attrs"):
+        prim = jnp.clip(hit.prim, 0, scene.tri_pos.shape[0] - 1)
+        srow = scene.tri_shade_row[prim]
+        w_bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v],
+                           axis=-1)[..., None]
+        uv = jnp.sum(w_bary * srow[:, 0:6].reshape(-1, 3, 2), axis=1)
+        normal = jnp.sum(w_bary * srow[:, 6:15].reshape(-1, 3, 3), axis=1)
+        normal = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
+        if tex_flags[2]:  # tangents feed only the normal-mapping TBN
+            tangent4 = jnp.sum(w_bary * srow[:, 15:27].reshape(-1, 3, 4),
+                               axis=1)
+            tangent = tangent4[:, :3] / jnp.maximum(
+                jnp.linalg.norm(tangent4[:, :3], axis=-1, keepdims=True),
+                1e-20)
+
+        hit_point = o + hit.t[:, None] * d
+        mat_emissive = srow[:, 32:35]
+
+    with jax.named_scope("textures"):
+        albedo = srow[:, 27:30]
+        if tex_flags[0]:
+            tex_a = srow[:, 35].astype(jnp.int32)
+            texel_a = sample_texture_quad(scene.atlas_quad,
+                                          scene.tex_table, tex_a,
+                                          uv[:, 0], uv[:, 1])
+            albedo = jnp.where((tex_a != NO_TEXTURE)[:, None],
+                               albedo * texel_a[:, :3], albedo)  # triangle.rchit:161-163
+
+        # normal mapping via TBN (triangle.rchit:166-171)
+        shading_n = normal
+        if tex_flags[2]:
+            tex_n = srow[:, 37].astype(jnp.int32)
+            nf = srow[:, 31]
+            texel_n = sample_texture_quad(scene.atlas_quad,
+                                          scene.tex_table, tex_n,
+                                          uv[:, 0], uv[:, 1])
+            nm = (texel_n[:, :3] * 2.0 - 1.0) * nf[:, None]
+            bitangent = jnp.cross(normal, tangent) * tangent4[:, 3:4]
+            mapped = (nm[:, 0:1] * tangent + nm[:, 1:2] * bitangent
+                      + nm[:, 2:3] * normal)
+            mapped = mapped / jnp.maximum(
+                jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20)
+            use_nm = (tex_n != NO_TEXTURE) & (jnp.abs(nf) > 0.001)
+            shading_n = jnp.where(use_nm[:, None], mapped, normal)
+
+        # emissive (triangle.rchit:175-178)
+        emissive = mat_emissive * cfg.emissive_untextured_scale
+        if tex_flags[3]:
+            tex_e = srow[:, 38].astype(jnp.int32)
+            texel_e = sample_texture_quad(scene.atlas_quad,
+                                          scene.tex_table, tex_e,
+                                          uv[:, 0], uv[:, 1])
+            emissive = jnp.where(
+                (tex_e != NO_TEXTURE)[:, None],
+                texel_e[:, :3] * mat_emissive,
+                emissive,
+            )
+
+        # roughness * metallicRoughness texture green channel (:180-184)
+        roughness = srow[:, 30]
+        if tex_flags[1]:
+            tex_mr = srow[:, 36].astype(jnp.int32)
+            texel_mr = sample_texture_quad(scene.atlas_quad,
+                                           scene.tex_table, tex_mr,
+                                           uv[:, 0], uv[:, 1])
+            roughness = roughness * jnp.where(tex_mr != NO_TEXTURE,
+                                              texel_mr[:, 1], 1.0)
+        alpha = B.roughness_to_alpha(roughness)
+
+    return Shade(hit_point=hit_point, shading_n=shading_n, albedo=albedo,
+                 emissive=emissive, alpha=alpha)
+
+
+def nee_directions(scene: DeviceScene, cfg: RenderConfig, state, sp: Shade, d):
+    """Draw the wave's NEE directions (triangle.rchit:60-111): sample 1 is
+    uniformly light-or-envmap; sample 2 is the always-envmap BSDF-MIS
+    direction, drawn NOW so both rays trace as ONE fused 2N batch. RNG
+    draw order matches the reference exactly (u_pick, u1, u2, the dead
+    overridden-lightIndex draw, u3, u4).
+
+    Returns (state, nee_o, dir1, dir2, pick_env, lt, wo, al_b)."""
+    nl = scene.num_lights
+    nw = d.shape[0]
+    with jax.named_scope("nee_sample"):
+        state, u_pick = rng.next_rand(state)
+        light_idx = jnp.minimum((u_pick * (nl + 1)).astype(jnp.int32), nl)
+        pick_env = light_idx >= nl
+        state, u1, u2 = rng.next_uniform2(state)
+        if nl > 0:
+            lt = scene.lights[jnp.clip(light_idx, 0, nl - 1)]
+            dir_sphere = sample_sphere(sp.hit_point, lt[:, :3], lt[:, 3],
+                                       u1, u2)
+        else:
+            lt = jnp.zeros((nw, 8), jnp.float32)
+            dir_sphere = jnp.zeros((nw, 3), jnp.float32)
+        dir_hemi = sample_hemisphere_uniform(sp.shading_n, u1, u2)
+        dir1 = jnp.where(pick_env[:, None], dir_hemi, dir_sphere)
+
+        nee_o = sp.hit_point + cfg.ray_offset * sp.shading_n
+
+        state, _dead = rng.next_rand(state)  # the overridden lightIndex draw
+        state, u3, u4 = rng.next_uniform2(state)
+        wo = -d
+        al_b = jnp.maximum(sp.alpha, 0.01)
+        micro_n = B.sample_microfacet_distribution(wo, sp.shading_n, al_b,
+                                                   u3, u4)
+        micro_n = jnp.where((sp.alpha > 0.0)[:, None], micro_n, sp.shading_n)
+        dir2 = B.reflect(d, micro_n)
+    return state, nee_o, dir1, dir2, pick_env, lt, wo, al_b
+
+
+def mis_contributions(scene: DeviceScene, cfg: RenderConfig, sp: Shade,
+                      wo, dir1, dir2, pick_env, lt, al_b,
+                      rgb1, rgb2, a1, a2):
+    """Resolve both NEE samples' MIS-weighted contributions
+    (raytrace-common.glsl:51-113 weights with the per-call alpha clamps,
+    scaled by num_lights + 1, triangle.rchit:110). Returns (N, 3)."""
+    nl = scene.num_lights
+    nw = wo.shape[0]
+    with jax.named_scope("mis_weights"):
+        # weightLight (raytrace-common.glsl:51-62), alpha clamp 1e-5
+        al_l = jnp.maximum(sp.alpha, 0.00001)
+        bsdf_f1 = B.microfacet_bsdf(dir1, wo, sp.shading_n, al_l,
+                                    cfg.eta_i, cfg.eta_t)
+        bsdf_pdf1 = B.pdf_microfacet(dir1, wo, sp.shading_n, al_l)
+        if nl > 0:
+            light_pdf1 = pdf_sphere(sp.hit_point, dir1, lt[:, :3], lt[:, 3])
+        else:
+            light_pdf1 = jnp.zeros(nw)
+        vis1 = jnp.maximum(1.0 - jnp.maximum(a1, 0.0), 0.0)
+        w_light = (
+            bsdf_f1
+            * jnp.abs(jnp.sum(dir1 * sp.shading_n, axis=-1))
+            * vis1
+            * B.power_heuristic(1.0, light_pdf1, 1.0, bsdf_pdf1)
+            / jnp.maximum(light_pdf1, 1e-30)
+        )
+        w_light = jnp.where((light_pdf1 <= 0.0) | (bsdf_pdf1 <= 0.0), 0.0,
+                            w_light)
+        contrib_light = w_light[:, None] * rgb1
+
+        # weightLightEnvmap (:64-80), alpha clamp 1e-3
+        al_le = jnp.maximum(sp.alpha, 0.001)
+        bsdf_fe = B.microfacet_bsdf(dir1, wo, sp.shading_n, al_le,
+                                    cfg.eta_i, cfg.eta_t)
+        bsdf_pdfe = B.pdf_microfacet(dir1, wo, sp.shading_n, al_le)
+        env_pdf = 1.0 / (2.0 * B.PI)
+        vis_env1 = jnp.where(a1 < -1.0, 1.0, 0.0)
+        w_env = (
+            bsdf_fe
+            * jnp.abs(jnp.sum(dir1 * sp.shading_n, axis=-1))
+            * vis_env1
+            * B.power_heuristic(1.0, env_pdf, 1.0, bsdf_pdfe)
+            / env_pdf
+        )
+        w_env = jnp.where(bsdf_pdfe <= 0.0, 0.0, w_env)
+        contrib_env = w_env[:, None] * rgb1
+
+        nee1 = jnp.where(pick_env[:, None], contrib_env, contrib_light)
+
+        # NEE sample 2: BSDF-MIS, always envmap branch (:89-108);
+        # weightBSDFEnvmap (:95-112), alpha clamp 1e-2
+        bsdf_pdf2 = B.pdf_microfacet(dir2, wo, sp.shading_n, al_b)
+        vis_env2 = jnp.where(a2 < -1.0, 1.0, 0.0)
+        w_bsdf = (
+            B.microfacet_weight(dir2, wo, sp.shading_n, al_b)
+            * vis_env2
+            * B.power_heuristic(1.0, bsdf_pdf2, 1.0, env_pdf)
+        )
+        w_bsdf = jnp.where(bsdf_pdf2 <= 0.000005, 0.0, w_bsdf)
+        w_bsdf = jnp.where(jnp.any(jnp.isnan(dir2), axis=-1), 0.0, w_bsdf)
+        nee2 = w_bsdf[:, None] * rgb2
+
+        return (nee1 + nee2) * jnp.float32(nl + 1)  # :110
+
+
+def bounce_sample(cfg: RenderConfig, state, sp: Shade, wo, d, throughput):
+    """Sample the bounce direction + Russian roulette
+    (triangle.rchit:192-218). Returns (state, bounce_dir, t_new, killed,
+    offset)."""
+    with jax.named_scope("bounce"):
+        al_b = jnp.maximum(sp.alpha, 0.01)
+        state, u5, u6 = rng.next_uniform2(state)
+        micro_b = B.sample_microfacet_distribution(wo, sp.shading_n,
+                                                   sp.alpha, u5, u6)
+        micro_b = jnp.where((sp.alpha > 0.0)[:, None], micro_b, sp.shading_n)
+        bounce_dir = B.reflect(d, micro_b)
+
+        t_new = throughput * B.microfacet_weight(bounce_dir, wo,
+                                                 sp.shading_n, al_b)
+        rr_w = 1.0 - jnp.maximum(t_new, cfg.rr_threshold)  # :203
+        state, u_rr = rng.next_rand(state)
+        killed = u_rr < rr_w
+        t_new = t_new / jnp.maximum(1.0 - rr_w, 1e-30)     # :209
+
+        below = jnp.sum(bounce_dir * sp.shading_n, axis=-1) < 0.0
+        offset = jnp.where(
+            below[:, None],
+            cfg.ray_offset * (-bounce_dir) / jnp.maximum(
+                jnp.linalg.norm(bounce_dir, axis=-1, keepdims=True), 1e-20),
+            cfg.ray_offset * sp.shading_n,
+        )
+    return state, bounce_dir, t_new, killed, offset
+
+
 def trace_paths(
     scene: DeviceScene,
     bvh: LBVH,
@@ -291,7 +520,6 @@ def trace_paths(
     `render_sample` adds ray generation + image reshape on top,
     `tpurt.parallel` shards ray/sample batches across a device mesh."""
     n = o.shape[0]
-    nl = scene.num_lights
 
     radiance = jnp.zeros((n, 3), jnp.float32)
     rays_traced = jnp.zeros((), jnp.float32)
@@ -324,115 +552,16 @@ def trace_paths(
             )
         # sphere hits at wave>0 contribute 0 (alpha code 0) and terminate
 
-        # ---- gather hit attributes ------------------------------------
-        # ONE fat row gather per shaded ray (DeviceScene.tri_shade_row):
-        # uv/normal/tangent vertices + the hit material's factors and
-        # texture ids, replacing ~12 separate gathers (scalar-path 1-D
-        # gathers cost ~8 ns/element on v5e; the row gather rides DMA)
-        with jax.named_scope("shade_attrs"):
-            prim = jnp.clip(hit.prim, 0, scene.tri_pos.shape[0] - 1)
-            srow = scene.tri_shade_row[prim]
-            w_bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v],
-                               axis=-1)[..., None]
-            uv = jnp.sum(w_bary * srow[:, 0:6].reshape(-1, 3, 2), axis=1)
-            normal = jnp.sum(w_bary * srow[:, 6:15].reshape(-1, 3, 3), axis=1)
-            normal = normal / jnp.maximum(
-                jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
-            if tex_flags[2]:  # tangents feed only the normal-mapping TBN
-                tangent4 = jnp.sum(w_bary * srow[:, 15:27].reshape(-1, 3, 4),
-                                   axis=1)
-                tangent = tangent4[:, :3] / jnp.maximum(
-                    jnp.linalg.norm(tangent4[:, :3], axis=-1, keepdims=True),
-                    1e-20)
+        # ---- shade: attributes + textures (triangle.rchit:120-184) -----
+        sp = shade_hit(scene, cfg, tex_flags, o, d, hit)
 
-            hit_point = o + hit.t[:, None] * d
-            mat_emissive = srow[:, 32:35]
+        # ---- NEE directions (:60-111); both rays trace as ONE fused 2N
+        # occlusion batch (shadow payloads never read surface attributes,
+        # triangle.rchit:114-117), halving the latency-bound per-iteration
+        # overheads of the traversal loop on TPU
+        state, nee_o, dir1, dir2, pick_env, lt, wo, al_b = nee_directions(
+            scene, cfg, state, sp, d)
 
-        with jax.named_scope("textures"):
-            albedo = srow[:, 27:30]
-            if tex_flags[0]:
-                tex_a = srow[:, 35].astype(jnp.int32)
-                texel_a = sample_texture_quad(scene.atlas_quad,
-                                              scene.tex_table, tex_a,
-                                              uv[:, 0], uv[:, 1])
-                albedo = jnp.where((tex_a != NO_TEXTURE)[:, None],
-                                   albedo * texel_a[:, :3], albedo)  # triangle.rchit:161-163
-
-            # normal mapping via TBN (triangle.rchit:166-171)
-            shading_n = normal
-            if tex_flags[2]:
-                tex_n = srow[:, 37].astype(jnp.int32)
-                nf = srow[:, 31]
-                texel_n = sample_texture_quad(scene.atlas_quad,
-                                              scene.tex_table, tex_n,
-                                              uv[:, 0], uv[:, 1])
-                nm = (texel_n[:, :3] * 2.0 - 1.0) * nf[:, None]
-                bitangent = jnp.cross(normal, tangent) * tangent4[:, 3:4]
-                mapped = (nm[:, 0:1] * tangent + nm[:, 1:2] * bitangent
-                          + nm[:, 2:3] * normal)
-                mapped = mapped / jnp.maximum(
-                    jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20)
-                use_nm = (tex_n != NO_TEXTURE) & (jnp.abs(nf) > 0.001)
-                shading_n = jnp.where(use_nm[:, None], mapped, normal)
-
-            # emissive (triangle.rchit:175-178)
-            emissive = mat_emissive * cfg.emissive_untextured_scale
-            if tex_flags[3]:
-                tex_e = srow[:, 38].astype(jnp.int32)
-                texel_e = sample_texture_quad(scene.atlas_quad,
-                                              scene.tex_table, tex_e,
-                                              uv[:, 0], uv[:, 1])
-                emissive = jnp.where(
-                    (tex_e != NO_TEXTURE)[:, None],
-                    texel_e[:, :3] * mat_emissive,
-                    emissive,
-                )
-
-            # roughness * metallicRoughness texture green channel (:180-184)
-            roughness = srow[:, 30]
-            if tex_flags[1]:
-                tex_mr = srow[:, 36].astype(jnp.int32)
-                texel_mr = sample_texture_quad(scene.atlas_quad,
-                                               scene.tex_table, tex_mr,
-                                               uv[:, 0], uv[:, 1])
-                roughness = roughness * jnp.where(tex_mr != NO_TEXTURE,
-                                                  texel_mr[:, 1], 1.0)
-            alpha = B.roughness_to_alpha(roughness)
-
-        local_l = emissive
-
-        # ---- NEE sample 1: uniformly light-or-envmap (:64-87) ----------
-        with jax.named_scope("nee_sample"):
-            state, u_pick = rng.next_rand(state)
-            light_idx = jnp.minimum((u_pick * (nl + 1)).astype(jnp.int32), nl)
-            pick_env = light_idx >= nl
-            state, u1, u2 = rng.next_uniform2(state)
-            if nl > 0:
-                lt = scene.lights[jnp.clip(light_idx, 0, nl - 1)]
-                dir_sphere = sample_sphere(hit_point, lt[:, :3], lt[:, 3],
-                                           u1, u2)
-            else:
-                lt = jnp.zeros((nw, 8), jnp.float32)
-                dir_sphere = jnp.zeros((nw, 3), jnp.float32)
-            dir_hemi = sample_hemisphere_uniform(shading_n, u1, u2)
-            dir1 = jnp.where(pick_env[:, None], dir_hemi, dir_sphere)
-
-            nee_o = hit_point + cfg.ray_offset * shading_n
-
-            # sample the BSDF-MIS direction now so both NEE rays trace as
-            # ONE fused 2N batch (halves the latency-bound per-iteration
-            # overheads of the traversal loop on TPU)
-            state, _dead = rng.next_rand(state)  # the overridden lightIndex draw
-            state, u3, u4 = rng.next_uniform2(state)
-            wo = -d
-            al_b = jnp.maximum(alpha, 0.01)
-            micro_n = B.sample_microfacet_distribution(wo, shading_n, al_b,
-                                                       u3, u4)
-            micro_n = jnp.where((alpha > 0.0)[:, None], micro_n, shading_n)
-            dir2 = B.reflect(d, micro_n)
-
-        # both NEE rays resolve as ONE fused 2N occlusion batch (shadow
-        # payloads never read surface attributes, triangle.rchit:114-117)
         with jax.named_scope("trace_shadow"):
             rgb12, a12, miss12 = _trace_shadow(
                 scene, bvh,
@@ -448,102 +577,32 @@ def trace_paths(
         depth = (depth + miss12[:nw].astype(jnp.int32)
                  + miss12[nw:].astype(jnp.int32))
 
-        # weightLight (raytrace-common.glsl:51-62), alpha clamp 1e-5
-        mis_scope = jax.named_scope("mis_weights")
-        mis_scope.__enter__()
-        al_l = jnp.maximum(alpha, 0.00001)
-        bsdf_f1 = B.microfacet_bsdf(dir1, wo, shading_n, al_l,
-                                    cfg.eta_i, cfg.eta_t)
-        bsdf_pdf1 = B.pdf_microfacet(dir1, wo, shading_n, al_l)
-        if nl > 0:
-            light_pdf1 = pdf_sphere(hit_point, dir1, lt[:, :3], lt[:, 3])
-        else:
-            light_pdf1 = jnp.zeros(nw)
-        vis1 = jnp.maximum(1.0 - jnp.maximum(a1, 0.0), 0.0)
-        w_light = (
-            bsdf_f1
-            * jnp.abs(jnp.sum(dir1 * shading_n, axis=-1))
-            * vis1
-            * B.power_heuristic(1.0, light_pdf1, 1.0, bsdf_pdf1)
-            / jnp.maximum(light_pdf1, 1e-30)
-        )
-        w_light = jnp.where((light_pdf1 <= 0.0) | (bsdf_pdf1 <= 0.0), 0.0, w_light)
-        contrib_light = w_light[:, None] * rgb1
-
-        # weightLightEnvmap (:64-80), alpha clamp 1e-3
-        al_le = jnp.maximum(alpha, 0.001)
-        bsdf_fe = B.microfacet_bsdf(dir1, wo, shading_n, al_le, cfg.eta_i, cfg.eta_t)
-        bsdf_pdfe = B.pdf_microfacet(dir1, wo, shading_n, al_le)
-        env_pdf = 1.0 / (2.0 * B.PI)
-        vis_env1 = jnp.where(a1 < -1.0, 1.0, 0.0)
-        w_env = (
-            bsdf_fe
-            * jnp.abs(jnp.sum(dir1 * shading_n, axis=-1))
-            * vis_env1
-            * B.power_heuristic(1.0, env_pdf, 1.0, bsdf_pdfe)
-            / env_pdf
-        )
-        w_env = jnp.where(bsdf_pdfe <= 0.0, 0.0, w_env)
-        contrib_env = w_env[:, None] * rgb1
-
-        nee1 = jnp.where(pick_env[:, None], contrib_env, contrib_light)
-
-        # ---- NEE sample 2: BSDF-MIS, always envmap branch (:89-108) ----
-        # (direction sampled above, traced in the fused 2N batch)
-        # weightBSDFEnvmap (:95-112), alpha clamp 1e-2
-        bsdf_pdf2 = B.pdf_microfacet(dir2, wo, shading_n, al_b)
-        vis_env2 = jnp.where(a2 < -1.0, 1.0, 0.0)
-        w_bsdf = (
-            B.microfacet_weight(dir2, wo, shading_n, al_b)
-            * vis_env2
-            * B.power_heuristic(1.0, bsdf_pdf2, 1.0, env_pdf)
-        )
-        w_bsdf = jnp.where(bsdf_pdf2 <= 0.000005, 0.0, w_bsdf)
-        w_bsdf = jnp.where(jnp.any(jnp.isnan(dir2), axis=-1), 0.0, w_bsdf)
-        nee2 = w_bsdf[:, None] * rgb2
-
-        local_l = local_l + (nee1 + nee2) * jnp.float32(nl + 1)  # :110
-        mis_scope.__exit__(None, None, None)
+        local_l = sp.emissive + mis_contributions(
+            scene, cfg, sp, wo, dir1, dir2, pick_env, lt, al_b,
+            rgb1, rgb2, a1, a2)
 
         # ---- bounce (triangle.rchit:192-218) ---------------------------
-        bounce_scope = jax.named_scope("bounce")
-        bounce_scope.__enter__()
         can_bounce = depth < cfg.max_depth
         depth = depth + is_tri.astype(jnp.int32)  # recursionDepth++ (:192)
 
-        state, u5, u6 = rng.next_uniform2(state)
-        micro_b = B.sample_microfacet_distribution(wo, shading_n, alpha, u5, u6)
-        micro_b = jnp.where((alpha > 0.0)[:, None], micro_b, shading_n)
-        bounce_dir = B.reflect(d, micro_b)
+        state, bounce_dir, t_new, killed, offset = bounce_sample(
+            cfg, state, sp, wo, d, throughput)
 
-        t_new = throughput * B.microfacet_weight(bounce_dir, wo, shading_n, al_b)
-        rr_w = 1.0 - jnp.maximum(t_new, cfg.rr_threshold)  # :203
-        state, u_rr = rng.next_rand(state)
-        killed = u_rr < rr_w
-        t_new = t_new / jnp.maximum(1.0 - rr_w, 1e-30)     # :209
+        with jax.named_scope("bounce_resolve"):
+            # RR kill zeroes this hit's whole contribution (:204-206)
+            dead_by_rr = is_tri & can_bounce & killed
+            add = is_tri & ~dead_by_rr
+            radiance = radiance + jnp.where(
+                add[:, None], albedo_prod * sp.albedo * local_l, 0.0
+            )
 
-        below = jnp.sum(bounce_dir * shading_n, axis=-1) < 0.0
-        offset = jnp.where(
-            below[:, None],
-            cfg.ray_offset * (-bounce_dir) / jnp.maximum(
-                jnp.linalg.norm(bounce_dir, axis=-1, keepdims=True), 1e-20),
-            cfg.ray_offset * shading_n,
-        )
-
-        # RR kill zeroes this hit's whole contribution (:204-206)
-        dead_by_rr = is_tri & can_bounce & killed
-        add = is_tri & ~dead_by_rr
-        radiance = radiance + jnp.where(
-            add[:, None], albedo_prod * albedo * local_l, 0.0
-        )
-
-        cont = is_tri & can_bounce & ~killed
-        o = jnp.where(cont[:, None], hit_point + offset, o)
-        d = jnp.where(cont[:, None], bounce_dir, d)
-        albedo_prod = jnp.where(cont[:, None], albedo_prod * albedo, albedo_prod)
-        throughput = jnp.where(cont, t_new, throughput)
-        active = cont
-        bounce_scope.__exit__(None, None, None)
+            cont = is_tri & can_bounce & ~killed
+            o = jnp.where(cont[:, None], sp.hit_point + offset, o)
+            d = jnp.where(cont[:, None], bounce_dir, d)
+            albedo_prod = jnp.where(cont[:, None], albedo_prod * sp.albedo,
+                                    albedo_prod)
+            throughput = jnp.where(cont, t_new, throughput)
+            active = cont
 
         return (o, d, state, radiance, throughput, albedo_prod, depth,
                 rays_traced, active), None
