@@ -242,6 +242,14 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
         return Hit(t=t, kind=kind, prim=prim, u=u, v=v)
 
 
+def _root_bounds(bvh):
+    """(root_lo, root_hi) for any BVH flavor: kernel BVHs wrap a TriBVH
+    (.tribvh), a TriBVH wraps the LBVH (.bvh)."""
+    tb = getattr(bvh, "tribvh", bvh)
+    b = getattr(tb, "bvh", tb)
+    return b.node_min[0], b.node_max[0]
+
+
 def _octant_morton_key(kbvh, o, d, active, ray_class=None):
     """Sort key grouping rays into octant-pure, origin- AND
     direction-coherent packets (inactive rays sort to the back so whole
@@ -262,8 +270,7 @@ def _octant_morton_key(kbvh, o, d, active, ray_class=None):
         + (d[:, 1] < 0).astype(jnp.int32) * 2
         + (d[:, 2] < 0).astype(jnp.int32)
     )
-    root_lo = kbvh.tribvh.bvh.node_min[0]
-    root_hi = kbvh.tribvh.bvh.node_max[0]
+    root_lo, root_hi = _root_bounds(kbvh)
     extent = jnp.maximum(root_hi - root_lo, 1e-20)
     m = morton3((o - root_lo) / extent).astype(jnp.int32)
     dm = morton3((d + 1.0) * 0.5).astype(jnp.int32)

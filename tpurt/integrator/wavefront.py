@@ -112,17 +112,32 @@ def _alpha_rejected(scene, h: Hit, mask) -> jnp.ndarray:
     return (tested & (tbit == 1)) | by_tap
 
 
+def _retrace_capacity(n: int) -> int:
+    """Static slice size for compacted alpha re-traces: n/8 rounded up to
+    packet alignment (re-traces affect a few % of rays, but UNSORTED they
+    scatter across every 1024-ray packet, so a full-batch relaunch walks
+    the tree nearly everywhere; compacting rejected rays — octant-morton
+    sorted — into an n/8 slice bounds the relaunch at ~1/8 the packets).
+    0 disables compaction (small batches: the cond isn't worth it)."""
+    if n < 4 * PACKET_COMPACT:
+        return 0
+    return max(PACKET_COMPACT,
+               -(-(n // 8) // PACKET_COMPACT) * PACKET_COMPACT)
+
+
 def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
            has_alpha: bool, sort_rays: bool = True,
-           incoherent: bool = False) -> Hit:
+           incoherent: bool = False, interpret: bool = False) -> Hit:
     """Closest-hit trace with the alpha-test re-trace loop (replaces
     hardware any-hit, raytrace.rahit:57-58). `incoherent` marks
     secondary-bounce batches (selects the wide kernel's cond-gated step,
     1.43x on those)."""
+    from tpurt.bvh.traverse import _octant_morton_key, _sort_rays
+
     hit = closest_hit(
         bvh, scene.tri_pos, scene.lights, o, d, t_min0, cfg.t_max,
         include_spheres=include_spheres, active=active, sort_rays=sort_rays,
-        incoherent=incoherent,
+        incoherent=incoherent, interpret=interpret,
     )
     if not has_alpha:
         return hit
@@ -134,6 +149,42 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
     # iterations only re-test the re-traced rays, so the any(tested) gate
     # usually turns the tail iterations into no-ops
     rej0 = alpha_rejected(hit, active)
+    n = o.shape[0]
+    cap = _retrace_capacity(n)
+
+    def _full_retrace(args):
+        o, d, t_min, rej = args
+        return closest_hit(
+            bvh, scene.tri_pos, scene.lights, o, d, t_min, cfg.t_max,
+            include_spheres=include_spheres, active=rej,
+            sort_rays=SORT_RETRACE, incoherent=incoherent,
+            interpret=interpret,
+        )
+
+    def _compact_retrace(args):
+        # exact: the cond proved every rejected ray fits the slice; the
+        # sliced-away rows are all un-rejected and keep their committed hit
+        o, d, t_min, rej = args
+        key = _octant_morton_key(bvh, o, d, rej)
+        orig, cols = _sort_rays(
+            key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                  t_min, rej))
+        o0, o1, o2, d0, d1, d2, tm, rj = (c[:cap] for c in cols)
+        nh = closest_hit(
+            bvh, scene.tri_pos, scene.lights,
+            jnp.stack([o0, o1, o2], axis=1), jnp.stack([d0, d1, d2], axis=1),
+            tm, cfg.t_max, include_spheres=include_spheres, active=rj,
+            sort_rays=False, incoherent=incoherent, interpret=interpret,
+        )
+        pad = n - cap
+        t = jnp.concatenate([nh.t, jnp.full(pad, cfg.t_max, jnp.float32)])
+        kind = jnp.concatenate([nh.kind,
+                                jnp.full(pad, KIND_MISS, jnp.int32)])
+        prim = jnp.concatenate([nh.prim, jnp.full(pad, -1, jnp.int32)])
+        u = jnp.concatenate([nh.u, jnp.zeros(pad, jnp.float32)])
+        v = jnp.concatenate([nh.v, jnp.zeros(pad, jnp.float32)])
+        _, (t, kind, prim, u, v) = _sort_rays(orig, (t, kind, prim, u, v))
+        return Hit(t=t, kind=kind, prim=prim, u=u, v=v)
 
     def cond(state):
         i, h, t_min, rej = state
@@ -142,11 +193,12 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
     def body(state):
         i, h, t_min, rej = state
         t_min = jnp.where(rej, h.t * (1.0 + 1e-6) + 1e-5, t_min)
-        nh = closest_hit(
-            bvh, scene.tri_pos, scene.lights, o, d, t_min, cfg.t_max,
-            include_spheres=include_spheres, active=active & rej,
-            sort_rays=SORT_RETRACE, incoherent=incoherent,
-        )
+        if cap:
+            nh = jax.lax.cond(
+                jnp.sum(rej.astype(jnp.int32)) <= cap,
+                _compact_retrace, _full_retrace, (o, d, t_min, rej))
+        else:
+            nh = _full_retrace((o, d, t_min, rej))
         h = Hit(
             t=jnp.where(rej, nh.t, h.t),
             kind=jnp.where(rej, nh.kind, h.kind),
@@ -164,7 +216,7 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
 
 
 def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
-                  has_alpha: bool):
+                  has_alpha: bool, interpret: bool = False):
     """NEE shadow/MIS-ray resolution: the payload protocol of a full
     closest-hit trace (rgb + alpha code 1 surface / 0 light / -4 envmap),
     computed as an OCCLUSION query.
@@ -205,14 +257,50 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
         # early-exit packets actually retire early
         ray_class = (jnp.arange(n) >= (n // 2)).astype(jnp.int32)
         blocked, hit = occlusion_hit(bvh, o, d, t_min0, t_limit, active,
-                                     has_alpha, ray_class=ray_class)
+                                     has_alpha, ray_class=ray_class,
+                                     interpret=interpret)
         if has_alpha:
+            from tpurt.bvh.traverse import _octant_morton_key, _sort_rays
+
             # exact alpha recheck of uncertain (alpha-testable) hits, with
             # occlusion re-trace past texture-rejected ones — the any-hit
-            # loop of _trace, in occlusion form
+            # loop of _trace, in occlusion form (incl. the compacted
+            # re-trace, see _retrace_capacity)
             unc = active & ~blocked & (hit.prim >= 0)
             rej = _alpha_rejected(scene, hit, unc)
             blocked = blocked | (unc & ~rej)
+            cap = _retrace_capacity(n)
+
+            def _full_retrace(args):
+                t_min, rej = args
+                return occlusion_hit(bvh, o, d, t_min, t_limit, rej,
+                                     has_alpha, sort_rays=SORT_RETRACE,
+                                     interpret=interpret)
+
+            def _compact_retrace(args):
+                t_min, rej = args
+                key = _octant_morton_key(bvh, o, d, rej)
+                orig, cols = _sort_rays(
+                    key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
+                          d[:, 2], t_min, t_limit, rej))
+                o0, o1, o2, d0, d1, d2, tm, tl, rj = (c[:cap] for c in cols)
+                b2, h2 = occlusion_hit(
+                    bvh, jnp.stack([o0, o1, o2], axis=1),
+                    jnp.stack([d0, d1, d2], axis=1), tm, tl, rj,
+                    has_alpha, sort_rays=False, interpret=interpret)
+                pad = n - cap
+                b2 = jnp.concatenate([b2, jnp.zeros(pad, bool)])
+                t = jnp.concatenate([h2.t,
+                                     jnp.full(pad, cfg.t_max, jnp.float32)])
+                kind = jnp.concatenate([h2.kind,
+                                        jnp.full(pad, KIND_MISS, jnp.int32)])
+                prim = jnp.concatenate([h2.prim,
+                                        jnp.full(pad, -1, jnp.int32)])
+                u = jnp.concatenate([h2.u, jnp.zeros(pad, jnp.float32)])
+                v = jnp.concatenate([h2.v, jnp.zeros(pad, jnp.float32)])
+                _, (b2, t, kind, prim, u, v) = _sort_rays(
+                    orig, (b2, t, kind, prim, u, v))
+                return b2, Hit(t=t, kind=kind, prim=prim, u=u, v=v)
 
             def cond(state):
                 i, blocked, hit, t_min, rej = state
@@ -221,8 +309,12 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
             def body(state):
                 i, blocked, hit, t_min, rej = state
                 t_min = jnp.where(rej, hit.t * (1.0 + 1e-6) + 1e-5, t_min)
-                b2, h2 = occlusion_hit(bvh, o, d, t_min, t_limit, rej,
-                                       has_alpha, sort_rays=SORT_RETRACE)
+                if cap:
+                    b2, h2 = jax.lax.cond(
+                        jnp.sum(rej.astype(jnp.int32)) <= cap,
+                        _compact_retrace, _full_retrace, (t_min, rej))
+                else:
+                    b2, h2 = _full_retrace((t_min, rej))
                 hit = Hit(
                     t=jnp.where(rej, h2.t, hit.t),
                     kind=jnp.where(rej, h2.kind, hit.kind),
@@ -243,7 +335,7 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
             blocked = blocked | rej
     else:
         hit = _trace(scene, bvh, o, d, t_min0, active, False, cfg, has_alpha,
-                     sort_rays=False)
+                     sort_rays=False, interpret=interpret)
         # <=: ties between a surface and the sphere commit the surface,
         # matching the closest-hit formulation (s_hit required s_t < t)
         blocked = active & (hit.kind == KIND_TRIANGLE) & (hit.t <= t_limit)
