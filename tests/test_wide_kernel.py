@@ -263,3 +263,38 @@ def test_bf16_tables_identical_hits():
     b1, *_ = occlusion_packets(kb16, o, d, jnp.zeros(2048), tl, act, False,
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+
+
+def test_wide_kernel_dual_pop_parity():
+    """The dual-pop step (two stack entries per iteration, overlapping
+    scalar chains) must produce bit-identical results to the single-pop
+    predicated step for everything the integrator consumes: closest-hit
+    (t, prim, u, v), occlusion `blocked`, and occlusion prim on
+    NON-blocked lanes. Blocked lanes early-exit at the first definite
+    occluder, which is pop-order-dependent — their prim/t are never read
+    downstream (`_trace_shadow` gates the recheck on `~blocked`)."""
+    tris = _random_tris(300, seed=31)
+    tb = build_triangle_bvh(tris, group_size=4)
+    kb = make_wide_kernel_bvh(tb, tris)
+    o, d = _random_rays(1024, seed=32)
+    act = jnp.asarray(np.arange(1024) % 3 != 0)
+    t0, p0, u0, v0 = traverse_packets(kb, o, d, jnp.zeros(1024), 1e9, act,
+                                      interpret=True, dual=False)
+    t1, p1, u1, v1 = traverse_packets(kb, o, d, jnp.zeros(1024), 1e9, act,
+                                      interpret=True, dual=True)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+
+    r = np.random.RandomState(33)
+    tl = jnp.asarray(0.3 + 4.0 * r.rand(1024), jnp.float32)
+    b0, t0, p0, _, _ = occlusion_packets(kb, o, d, jnp.zeros(1024), tl, act,
+                                         scene_has_alpha=False,
+                                         interpret=True, dual=False)
+    b1, t1, p1, _, _ = occlusion_packets(kb, o, d, jnp.zeros(1024), tl, act,
+                                         scene_has_alpha=False,
+                                         interpret=True, dual=True)
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    nb = ~np.asarray(b0)
+    np.testing.assert_array_equal(np.asarray(p0)[nb], np.asarray(p1)[nb])
+    np.testing.assert_array_equal(np.asarray(t0)[nb], np.asarray(t1)[nb])

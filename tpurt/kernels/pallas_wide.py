@@ -341,7 +341,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                  stack_ref,
                  *, group: int, use_masks: bool, use_opaque: bool,
                  occlusion: bool, all_definite: bool, resident: bool,
-                 gate: bool, unroll: int):
+                 gate: bool, unroll: int, dual: bool = False):
     """Stack-based 8-ary packet traversal (closest-hit or occlusion).
 
     Stack entries: wide node id (>= 0) or -(leaf id + 1). Slot hits of a
@@ -389,8 +389,8 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
     # writeback + loop-back; measured 1175 -> 475 ns/step at 4x), so
     # steps after stack exhaustion are alive-guarded no-ops and the cond
     # is only checked every _UNROLL steps.
-    def node_path(entry, active, sp, t_best, is_node):
-        """8 slot tests -> one scalar hitmask -> predicated pushes.
+    def node_tests(entry, active, t_best, is_node):
+        """8 slot tests -> one scalar hitmask + the row's (kinds, links).
         is_node=None means the caller cond-gated this path (gate=True);
         otherwise the hitmask is masked by is_node so a leaf step pushes
         nothing."""
@@ -433,20 +433,6 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         else:
             mask_scalar = jnp.where(is_node, hitbits[0, 0], jnp.int32(0))
 
-        # push far slots first (slots pre-sorted near-to-far per octant);
-        # kind == 0 gates EMPTY slots — their inverted placeholder box
-        # does not fail the slab test (min/max re-sorts the slabs), so
-        # the kind check is what actually excludes them.
-        #
-        # Dependent SMEM stores are the expensive part of a step (~100 ns
-        # EACH, measured: +865 ns for 8, whether pl.when-predicated or
-        # unconditional — branches and the 16 scalar row loads are
-        # ~free). So: the carried sp advances ARITHMETICALLY outside any
-        # branch, and the stores run under ONE pl.when(mask != 0) — leaf
-        # pops and all-miss node steps (the common cases) skip all 8
-        # stores for the price of one cheap branch. Inside the block a
-        # local cursor re-derives each store position; skipped entries
-        # sit above the stack top and are overwritten by the next push.
         if bf16:
             kinds = [row[_BKIND0 + s].astype(jnp.int32) for s in range(8)]
             links = [row[_BLINKH0 + s].astype(jnp.int32) * 65536
@@ -455,6 +441,23 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         else:
             kinds = [row[_KIND0 + s].astype(jnp.int32) for s in range(8)]
             links = [row[_LINK0 + s].astype(jnp.int32) for s in range(8)]
+        return mask_scalar, kinds, links
+
+    def node_push(sp, mask_scalar, kinds, links):
+        """Push far slots first (slots pre-sorted near-to-far per octant);
+        kind == 0 gates EMPTY slots — their inverted placeholder box
+        does not fail the slab test (min/max re-sorts the slabs), so
+        the kind check is what actually excludes them.
+
+        Dependent SMEM stores are the expensive part of a step (~100 ns
+        EACH, measured: +865 ns for 8, whether pl.when-predicated or
+        unconditional — branches and the 16 scalar row loads are
+        ~free). So: the carried sp advances ARITHMETICALLY outside any
+        branch, and the stores run under ONE pl.when(mask != 0) — leaf
+        pops and all-miss node steps (the common cases) skip all 8
+        stores for the price of one cheap branch. Inside the block a
+        local cursor re-derives each store position; skipped entries
+        sit above the stack top and are overwritten by the next push."""
         pushes = [((jnp.right_shift(mask_scalar, s) & 1) > 0)
                   & (kinds[s] > 0) for s in range(8)]
         sp_out = sp
@@ -470,6 +473,10 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                 sp = sp + pushes[s].astype(jnp.int32)
 
         return sp_out
+
+    def node_path(entry, active, sp, t_best, is_node):
+        mask_scalar, kinds, links = node_tests(entry, active, t_best, is_node)
+        return node_push(sp, mask_scalar, kinds, links)
 
     def leaf_path(entry, active, t_best, prim, blocked, is_node):
         """G triangle tests (is_node semantics as in node_path)."""
@@ -493,6 +500,40 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                     blocked = jnp.maximum(
                         blocked, jnp.where(definite, 1.0, 0.0))
         return t_best, prim, blocked
+
+    def step_dual(carry):
+        """Pop and process the TOP TWO stack entries in one step: their
+        scalar chains (row read -> box tests -> hitmask vector->scalar
+        transfer -> SMEM pushes) are independent, so the compiler can
+        overlap them while both entries share the SAME ray registers —
+        ILP on the latency-bound scalar machinery without doubling the
+        live vector state. Order: e1 (stack top = nearest) has its
+        children pushed LAST so they are processed first; testing e2
+        before e1 updates t_best only costs pruning, never correctness
+        (box far-tests with a stale t_best admit a superset of nodes)."""
+        sp, t_best, prim, blocked = carry
+        alive1 = sp > 0
+        alive2 = sp > 1
+        base = (blocked == 0.0) if occlusion else None
+        act1 = (alive1 & base) if base is not None else alive1
+        act2 = (alive2 & base) if base is not None else alive2
+        sp1 = sp - alive1.astype(jnp.int32)
+        sp2 = sp1 - alive2.astype(jnp.int32)
+        e1 = jnp.where(alive1, stack_ref[jnp.maximum(sp1, 0)], jnp.int32(0))
+        e2 = jnp.where(alive2, stack_ref[jnp.maximum(sp2, 0)], jnp.int32(0))
+        is_node1 = alive1 & (e1 >= 0)
+        is_node2 = alive2 & (e2 >= 0)
+
+        m1, k1, l1 = node_tests(e1, act1, t_best, is_node1)
+        m2, k2, l2 = node_tests(e2, act2, t_best, is_node2)
+        sp_new = node_push(sp2, m2, k2, l2)
+        sp_new = node_push(sp_new, m1, k1, l1)
+
+        t_best, prim, blocked = leaf_path(e1, act1, t_best, prim, blocked,
+                                          is_node1)
+        t_best, prim, blocked = leaf_path(e2, act2, t_best, prim, blocked,
+                                          is_node2)
+        return sp_new, t_best, prim, blocked
 
     def step(carry):
         sp, t_best, prim, blocked = carry
@@ -522,9 +563,12 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                                           blocked, is_node)
         return sp, t_best, prim, blocked
 
+    if dual:
+        assert not gate, "dual-pop is implemented for the predicated step"
+
     def body(carry):
         for _ in range(unroll):
-            carry = step(carry)
+            carry = step_dual(carry) if dual else step(carry)
         return carry
 
     def cond(carry):
@@ -549,10 +593,11 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "group", "occlusion", "all_definite", "gate", "unroll", "interpret"))
+    "group", "occlusion", "all_definite", "gate", "unroll", "dual",
+    "interpret"))
 def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                   tmin, tlim, *, group, occlusion, all_definite,
-                  gate=False, unroll=_UNROLL, interpret=False):
+                  gate=False, unroll=_UNROLL, dual=False, interpret=False):
     n_packets = ox.shape[0] // _SUB
     w = node_rows.shape[1]
     ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p, oct_ref: (p, 0),
@@ -571,19 +616,24 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     nodes_spec = full if resident else pl.BlockSpec(
         (1, w, _LANE), lambda p, oct_ref: (oct_ref[p], 0, 0),
         memory_space=pltpu.VMEM)
+    # dual-pop expands the second-from-top entry early, so per wide level
+    # up to ~15 (vs 7) unexpanded siblings can sit on the stack — double
+    # the scratch bound (2 KiB of SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_packets,),
         in_specs=[nodes_spec, full] + [ray_spec] * 8,
         out_specs=[ray_spec] * 3,
-        scratch_shapes=[pltpu.SMEM((_STACK,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((2 * _STACK if dual else _STACK,),
+                                   jnp.int32)],
     )
     use_masks = tri_rows.shape[1] >= group * 11
     use_opaque = tri_rows.shape[1] == group * 12
     kernel = functools.partial(_wide_kernel, group=group, use_masks=use_masks,
                                use_opaque=use_opaque,
                                occlusion=occlusion, all_definite=all_definite,
-                               resident=resident, gate=gate, unroll=unroll)
+                               resident=resident, gate=gate, unroll=unroll,
+                               dual=dual)
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.int32),
@@ -655,7 +705,8 @@ def _uv_from_prim(kbvh: WideKernelBVH, o, d, prim):
 
 def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
                      interpret: bool = False, gate: bool = False,
-                     need_uv: bool = True, unroll: int = _UNROLL):
+                     need_uv: bool = True, unroll: int = _UNROLL,
+                     dual: bool = False):
     """Closest-hit via the wide kernel (same contract as
     pallas_traverse.traverse_packets). `gate=True` selects the
     cond-gated step structure — 1.43x faster for sorted incoherent
@@ -670,7 +721,7 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
     t, prim, _ = _wide_packets(
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=False, all_definite=False,
-        gate=gate, unroll=unroll, interpret=interpret)
+        gate=gate, unroll=unroll, dual=dual, interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
     if need_uv:
@@ -682,7 +733,8 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
 
 def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
                       scene_has_alpha: bool, interpret: bool = False,
-                      need_uv: bool = True, unroll: int = _UNROLL):
+                      need_uv: bool = True, unroll: int = _UNROLL,
+                      dual: bool = False):
     """Occlusion query via the wide kernel (same contract as
     pallas_traverse.occlusion_packets). need_uv as in traverse_packets."""
     tribvh = kbvh.tribvh
@@ -690,7 +742,7 @@ def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
     t, prim, blocked = _wide_packets(
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=True,
-        all_definite=not scene_has_alpha, unroll=unroll,
+        all_definite=not scene_has_alpha, unroll=unroll, dual=dual,
         interpret=interpret)
     blocked = blocked.reshape(-1)[:n] > 0.0
     t = t.reshape(-1)[:n]
