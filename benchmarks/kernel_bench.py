@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--kernel", choices=("wide", "swide"), default="wide",
                     help="swide rebuilds a GROUP=8 tree for the "
                          "stream-wide kernel (pallas_swide)")
+    ap.add_argument("--dual", action="store_true",
+                    help="dual-pop predicated step (two stack entries per "
+                         "iteration); forces gate=False on the incoherent "
+                         "workload (dual is the predicated-step variant)")
     args = ap.parse_args()
 
     from tpurt.camera import Camera, camera_rays_for_rows
@@ -99,9 +103,16 @@ def main():
     # with need_uv=True its gather would run eagerly (one dispatch per op)
     # and add ~30-45 ms of pure dispatch overhead that the jitted
     # integrator never pays — measuring kernel-only time needs it off
+    dual_kw = {}
+    if args.dual:
+        assert args.kernel == "wide", "--dual is a wide-kernel variant"
+        dual_kw = {"dual": True}
+        print("dual-pop step enabled (gate forced off)")
+
     def closest(o, d, gate=False):
         t, prim, u, v = pallas_wide.traverse_packets(
-            kbvh, o, d, t_min, cfg.t_max, active, gate=gate, need_uv=False)
+            kbvh, o, d, t_min, cfg.t_max, active,
+            gate=gate and not args.dual, need_uv=False, **dual_kw)
         return t
 
     # 1) coherent camera packets
@@ -149,7 +160,8 @@ def main():
 
     def occl():
         blocked, t, prim, u, v = pallas_wide.occlusion_packets(
-            kbvh, oos, dls, t_min, tl, active, r.has_alpha, need_uv=False)
+            kbvh, oos, dls, t_min, tl, active, r.has_alpha, need_uv=False,
+            **dual_kw)
         return blocked
 
     dt = _timed(occl, args.reps)

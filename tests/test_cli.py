@@ -41,6 +41,25 @@ def test_render_smoke(tmp_path):
     assert os.path.exists(str(tmp_path / "acc.npz"))
 
 
+def test_render_debug_flags(tmp_path):
+    """--validate, --debug-nans and --trace drive the debug/profiling
+    layer from the CLI (the validation-layer/debug-printf analogues)."""
+    path = write_box_scene(str(tmp_path / "b.gltf"))
+    out = str(tmp_path / "out.png")
+    trace_dir = str(tmp_path / "trace")
+    rc = cli.main([
+        "render", path, "--res", "32x24", "--spp", "1", "-o", out,
+        "--validate", "--debug-nans", "--trace", trace_dir,
+    ])
+    assert rc == 0
+    assert os.path.exists(out)
+    # jax.profiler writes plugins/profile/<ts>/*.trace.json.gz under DIR
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found += [f for f in files if "trace" in f or f.endswith(".pb")]
+    assert found, "no profiler artifacts written"
+
+
 def test_orbit_frames(tmp_path):
     path = write_box_scene(str(tmp_path / "b.gltf"))
     outdir = str(tmp_path / "frames")

@@ -125,6 +125,21 @@ def _retrace_capacity(n: int) -> int:
                -(-(n // 8) // PACKET_COMPACT) * PACKET_COMPACT)
 
 
+def _shade_capacity(n: int) -> int:
+    """Static slice size for the compacted shade section: n/2 rounded up
+    to packet alignment. The whole shade+NEE+shadow+MIS+bounce block only
+    matters for `is_tri` lanes (every downstream consumer is masked by
+    is_tri/cont, and excluded lanes are terminated rays whose rng state is
+    never consumed again), so when the hit count fits, the block runs at
+    half width — a strictly weaker condition than the wave-compaction
+    ladder's all-survivors bound, catching the hard bands that never fit
+    the ladder. 0 disables (small batches)."""
+    if n < 4 * PACKET_COMPACT:
+        return 0
+    return max(PACKET_COMPACT,
+               -(-(n // 2) // PACKET_COMPACT) * PACKET_COMPACT)
+
+
 def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
            has_alpha: bool, sort_rays: bool = True,
            incoherent: bool = False, interpret: bool = False) -> Hit:
@@ -620,7 +635,51 @@ def trace_paths(
     depth = jnp.zeros(n, jnp.int32)           # payload.recursionDepth
     active = jnp.ones(n, bool)
 
-    def wave(carry, wave_idx):
+    def shade_nee(args):
+        """The whole per-hit XLA block of a wave: shading gathers +
+        textures, NEE direction draws, the fused 2m shadow trace, MIS
+        resolution, and the bounce sample (triangle.rchit:60-218). Pure
+        per-lane: results for lane i depend only on lane i's inputs, so
+        the block can run on a compacted hit-first permutation exactly."""
+        o_s, d_s, state_s, thr_s, tri_s, t_s, prim_s, u_s, v_s = args
+        m = o_s.shape[0]
+        hit_s = Hit(t=t_s, kind=jnp.where(tri_s, KIND_TRIANGLE, KIND_MISS),
+                    prim=prim_s, u=u_s, v=v_s)
+
+        # ---- shade: attributes + textures (triangle.rchit:120-184) -----
+        sp = shade_hit(scene, cfg, tex_flags, o_s, d_s, hit_s)
+
+        # ---- NEE directions (:60-111); both rays trace as ONE fused 2m
+        # occlusion batch (shadow payloads never read surface attributes,
+        # triangle.rchit:114-117), halving the latency-bound per-iteration
+        # overheads of the traversal loop on TPU
+        state_s, nee_o, dir1, dir2, pick_env, lt, wo, al_b = nee_directions(
+            scene, cfg, state_s, sp, d_s)
+
+        with jax.named_scope("trace_shadow"):
+            rgb12, a12, miss12 = _trace_shadow(
+                scene, bvh,
+                jnp.concatenate([nee_o, nee_o]),
+                jnp.concatenate([dir1, dir2]),
+                jnp.concatenate([tri_s, tri_s]),
+                jnp.concatenate([thr_s, thr_s]),
+                cfg, has_alpha,
+            )
+        # rmiss increments recursionDepth (raytrace.rmiss:10)
+        miss_inc = (miss12[:m].astype(jnp.int32)
+                    + miss12[m:].astype(jnp.int32))
+
+        local_l = sp.emissive + mis_contributions(
+            scene, cfg, sp, wo, dir1, dir2, pick_env, lt, al_b,
+            rgb12[:m], rgb12[m:], a12[:m], a12[m:])
+
+        # ---- bounce (triangle.rchit:192-218) ---------------------------
+        state_s, bounce_dir, t_new, killed, offset = bounce_sample(
+            cfg, state_s, sp, wo, d_s, thr_s)
+        return (state_s, miss_inc, local_l, bounce_dir, t_new, killed,
+                sp.hit_point + offset, sp.albedo)
+
+    def wave(carry, wave_idx, shade_compact=False):
         (o, d, state, radiance, throughput, albedo_prod, depth, rays_traced,
          active) = carry
         nw = o.shape[0]  # batch size (shrinks after wave compaction)
@@ -644,54 +703,79 @@ def trace_paths(
             )
         # sphere hits at wave>0 contribute 0 (alpha code 0) and terminate
 
-        # ---- shade: attributes + textures (triangle.rchit:120-184) -----
-        sp = shade_hit(scene, cfg, tex_flags, o, d, hit)
+        shade_args = (o, d, state, throughput, is_tri,
+                      hit.t, hit.prim, hit.u, hit.v)
+        cap = _shade_capacity(nw) if shade_compact else 0
+        if cap:
+            def compact_fn(args):
+                from tpurt.bvh.traverse import _sort_rays
 
-        # ---- NEE directions (:60-111); both rays trace as ONE fused 2N
-        # occlusion batch (shadow payloads never read surface attributes,
-        # triangle.rchit:114-117), halving the latency-bound per-iteration
-        # overheads of the traversal loop on TPU
-        state, nee_o, dir1, dir2, pick_env, lt, wo, al_b = nee_directions(
-            scene, cfg, state, sp, d)
+                o_f, d_f, state_f, thr_f, tri_f, t_f, p_f, u_f, v_f = args
+                key = (~tri_f).astype(jnp.int32)  # hits first
+                orig, cols = _sort_rays(key, (
+                    o_f[:, 0], o_f[:, 1], o_f[:, 2],
+                    d_f[:, 0], d_f[:, 1], d_f[:, 2],
+                    state_f, thr_f, tri_f, t_f, p_f, u_f, v_f))
+                sub = (jnp.stack(cols[0:3], axis=1)[:cap],
+                       jnp.stack(cols[3:6], axis=1)[:cap],
+                       *(c[:cap] for c in cols[6:]))
+                st_c, mi_c, ll_c, bd_c, tn_c, kl_c, no_c, al_c = \
+                    shade_nee(sub)
+                pad = nw - cap
+                z = jnp.zeros(pad, jnp.float32)
+                # excluded lanes: rng state carries through UNCHANGED
+                # (the full path would advance it, but those lanes are
+                # all ~is_tri — terminated — so it is never consumed);
+                # everything else is masked downstream, pad with zeros
+                _, outs = _sort_rays(orig, (
+                    jnp.concatenate([st_c, cols[6][cap:]]),
+                    jnp.concatenate([mi_c, jnp.zeros(pad, jnp.int32)]),
+                    jnp.concatenate([ll_c[:, 0], z]),
+                    jnp.concatenate([ll_c[:, 1], z]),
+                    jnp.concatenate([ll_c[:, 2], z]),
+                    jnp.concatenate([bd_c[:, 0], z]),
+                    jnp.concatenate([bd_c[:, 1], z]),
+                    jnp.concatenate([bd_c[:, 2], z]),
+                    jnp.concatenate([tn_c, z]),
+                    jnp.concatenate([kl_c, jnp.zeros(pad, bool)]),
+                    jnp.concatenate([no_c[:, 0], z]),
+                    jnp.concatenate([no_c[:, 1], z]),
+                    jnp.concatenate([no_c[:, 2], z]),
+                    jnp.concatenate([al_c[:, 0], z]),
+                    jnp.concatenate([al_c[:, 1], z]),
+                    jnp.concatenate([al_c[:, 2], z])))
+                return (outs[0], outs[1],
+                        jnp.stack(outs[2:5], axis=1),
+                        jnp.stack(outs[5:8], axis=1),
+                        outs[8], outs[9],
+                        jnp.stack(outs[10:13], axis=1),
+                        jnp.stack(outs[13:16], axis=1))
 
-        with jax.named_scope("trace_shadow"):
-            rgb12, a12, miss12 = _trace_shadow(
-                scene, bvh,
-                jnp.concatenate([nee_o, nee_o]),
-                jnp.concatenate([dir1, dir2]),
-                jnp.concatenate([is_tri, is_tri]),
-                jnp.concatenate([throughput, throughput]),
-                cfg, has_alpha,
-            )
-        rgb1, rgb2 = rgb12[:nw], rgb12[nw:]
-        a1, a2 = a12[:nw], a12[nw:]
-        # rmiss increments recursionDepth (raytrace.rmiss:10)
-        depth = (depth + miss12[:nw].astype(jnp.int32)
-                 + miss12[nw:].astype(jnp.int32))
+            with jax.named_scope("shade_compact"):
+                outs = jax.lax.cond(
+                    jnp.sum(is_tri.astype(jnp.int32)) <= cap,
+                    compact_fn, shade_nee, shade_args)
+        else:
+            outs = shade_nee(shade_args)
+        (state, miss_inc, local_l, bounce_dir, t_new, killed, new_o,
+         sh_albedo) = outs
 
-        local_l = sp.emissive + mis_contributions(
-            scene, cfg, sp, wo, dir1, dir2, pick_env, lt, al_b,
-            rgb1, rgb2, a1, a2)
-
-        # ---- bounce (triangle.rchit:192-218) ---------------------------
+        depth = depth + miss_inc
         can_bounce = depth < cfg.max_depth
         depth = depth + is_tri.astype(jnp.int32)  # recursionDepth++ (:192)
-
-        state, bounce_dir, t_new, killed, offset = bounce_sample(
-            cfg, state, sp, wo, d, throughput)
 
         with jax.named_scope("bounce_resolve"):
             # RR kill zeroes this hit's whole contribution (:204-206)
             dead_by_rr = is_tri & can_bounce & killed
             add = is_tri & ~dead_by_rr
             radiance = radiance + jnp.where(
-                add[:, None], albedo_prod * sp.albedo * local_l, 0.0
+                add[:, None], albedo_prod * sh_albedo * local_l, 0.0
             )
 
             cont = is_tri & can_bounce & ~killed
-            o = jnp.where(cont[:, None], sp.hit_point + offset, o)
+            o = jnp.where(cont[:, None], new_o, o)
             d = jnp.where(cont[:, None], bounce_dir, d)
-            albedo_prod = jnp.where(cont[:, None], albedo_prod * sp.albedo,
+            albedo_prod = jnp.where(cont[:, None], albedo_prod * sh_albedo,
                                     albedo_prod)
             throughput = jnp.where(cont, t_new, throughput)
             active = cont
@@ -709,7 +793,11 @@ def trace_paths(
         return jnp.any(c[-1])
 
     def body(c):
-        c2, _ = wave(c, 1)
+        # liveness decays without bound inside the tail loop, so the
+        # looped waves get the compacted shade section (the unrolled
+        # wave-0/1 and ladder-step waves run near their batch capacity,
+        # where the cond would rarely fire but always pay its sort)
+        c2, _ = wave(c, 1, shade_compact=True)
         return c2
 
     # ---- wave compaction -----------------------------------------------
