@@ -45,3 +45,14 @@ def test_viewer_serves_and_moves(tmp_path):
     assert not np.allclose(pos_before, pos_after)  # camera moved
     get("/key?k=%2B")
     assert b"3.25" in get("/status")  # exposure bumped
+
+    # LMB drag-look (/look, the reference's mouse deltas Window.cpp:67-82):
+    # a rightward drag must rotate the view direction, not the position
+    dir_before = np.asarray(r.camera.direction).copy()
+    pos_before = np.asarray(r.camera.position).copy()
+    get("/look?dx=80&dy=-40")
+    time.sleep(0.3)
+    assert not np.allclose(dir_before, np.asarray(r.camera.direction))
+    assert np.allclose(pos_before, np.asarray(r.camera.position))
+    get("/look?dx=bogus&dy=1")  # malformed deltas must not 500
+    assert b"spp" in get("/status")

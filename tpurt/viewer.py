@@ -32,9 +32,9 @@ img { image-rendering: pixelated; width: 80vmin; }
 </style></head>
 <body>
 <h3>tpurt progressive viewer</h3>
-<div>WASD fly &middot; R/F up/down &middot; arrows look &middot; +/- exposure</div>
+<div>WASD fly &middot; R/F up/down &middot; arrows or drag look &middot; +/- exposure</div>
 <p id="status"></p>
-<img id="frame" src="/frame.png">
+<img id="frame" src="/frame.png" draggable="false">
 <script>
 const img = document.getElementById('frame');
 const status = document.getElementById('status');
@@ -44,6 +44,21 @@ setInterval(() => { img.src = '/frame.png?' + Date.now();
 document.addEventListener('keydown', (e) => {
   fetch('/key?k=' + encodeURIComponent(e.key));
 });
+// drag-to-look, gated on the left button like the reference
+// (Window.cpp:67-82): deltas accumulate and flush every 60 ms
+let dragging = false, accX = 0, accY = 0;
+img.addEventListener('pointerdown', (e) => {
+  if (e.button === 0) { dragging = true; img.setPointerCapture(e.pointerId); }
+});
+img.addEventListener('pointerup', () => { dragging = false; });
+img.addEventListener('pointermove', (e) => {
+  if (dragging) { accX += e.movementX; accY += e.movementY; }
+});
+setInterval(() => {
+  if (accX !== 0 || accY !== 0) {
+    fetch('/look?dx=' + accX + '&dy=' + accY); accX = 0; accY = 0;
+  }
+}, 60);
 </script>
 </body></html>"""
 
@@ -109,6 +124,23 @@ class ViewerState:
                 return
             else:
                 return
+            r.set_camera(cam)  # resets accumulation (reference semantics)
+            self.gen += 1
+
+    def handle_look(self, dx: float, dy: float):
+        """Mouse-drag look: pixel deltas -> yaw/pitch, matching the arrow
+        keys' angle convention (the reference's LMB-gated mouse deltas,
+        Window.cpp:67-82 -> Raytracer.cpp camera update)."""
+        from tpurt.camera import Camera
+
+        sens = 0.005  # radians per pixel
+        with self.lock:
+            r = self.renderer
+            self.phi -= dx * sens         # drag right -> look right
+            self.theta -= dy * sens       # drag up (dy<0) -> look up
+            self.theta = max(-1.55, min(1.55, self.theta))
+            cam = Camera.from_angles(np.asarray(r.camera.position), self.phi,
+                                     self.theta)
             r.set_camera(cam)  # resets accumulation (reference semantics)
             self.gen += 1
 
@@ -179,6 +211,15 @@ def serve(renderer, host: str = "127.0.0.1", port: int = 8000):
             elif url.path == "/key":
                 key = parse_qs(url.query).get("k", [""])[0]
                 state.handle_key(key)
+                self._send(200, b"ok", "text/plain")
+            elif url.path == "/look":
+                q = parse_qs(url.query)
+                try:
+                    dx = float(q.get("dx", ["0"])[0])
+                    dy = float(q.get("dy", ["0"])[0])
+                except ValueError:
+                    dx = dy = 0.0
+                state.handle_look(dx, dy)
                 self._send(200, b"ok", "text/plain")
             else:
                 self._send(404, b"not found", "text/plain")
