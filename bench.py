@@ -51,6 +51,10 @@ def main():
 
     import jax.numpy as jnp
 
+    from tpurt.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # tunnel compiles are slow; cache them
+
     from tpurt.camera import Camera
     from tpurt.config import RenderConfig, SphereLight
     from tpurt.integrator.wavefront import render_sample_stats

@@ -53,6 +53,9 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from tpurt.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from tpurt.camera import Camera, fly_path
     from tpurt.config import RenderConfig, SphereLight
     from tpurt.parallel import make_mesh, render_sample_sharded

@@ -49,6 +49,9 @@ def main():
                          "workload (dual is the predicated-step variant)")
     args = ap.parse_args()
 
+    from tpurt.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from tpurt.camera import Camera, camera_rays_for_rows
     from tpurt.config import RenderConfig, SphereLight
     from tpurt.integrator.wavefront import tile_pack, tile_shape

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--scale", default="full", choices=["full", "small"])
     args = ap.parse_args()
 
+    from tpurt.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from tpurt.camera import Camera, camera_rays_for_rows
     from tpurt.config import RenderConfig, SphereLight
     from tpurt.integrator import wavefront as W

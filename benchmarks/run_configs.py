@@ -15,6 +15,9 @@ def measure(name, renderer, cfg, samples, target_spp, tex_flags):
     import jax
     import jax.numpy as jnp
 
+    from tpurt.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from tpurt.integrator.wavefront import render_sample_stats
 
     def one(idx):

@@ -26,6 +26,9 @@ def validate_scene(name, tri_pos, lights, rays, group_size, mask=None,
     import jax
     import jax.numpy as jnp
 
+    from tpurt.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from tpurt.bvh import build_triangle_bvh, intersect_scene
 
     if kernel == "wide":

@@ -288,6 +288,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from tpurt.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # persistent XLA cache: reruns skip compiles
     if args.command == "render":
         return cmd_render(args)
     if args.command == "info":

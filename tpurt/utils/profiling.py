@@ -76,3 +76,20 @@ class KernelTimer:
         if not st or st.seconds == 0:
             return 0.0
         return rays / st.seconds / 1e6
+
+
+def enable_compilation_cache(cache_dir: str = "/tmp/tpurt_xla_cache"):
+    """Enable JAX's persistent compilation cache (the analogue of the
+    reference's offline SPIR-V compilation, CMakeLists.txt:40-53: shaders
+    compile once at build time, not per run). TPU compiles through the
+    tunnel cost 20-40 s per config; cached reruns skip them entirely.
+    Safe to call more than once; no-op if the jax version lacks it."""
+    import os
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything, however quick: tunnel compiles are never quick
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - jax version drift
+        pass
