@@ -47,6 +47,10 @@ def main():
                     help="dual-pop predicated step (two stack entries per "
                          "iteration); forces gate=False on the incoherent "
                          "workload (dual is the predicated-step variant)")
+    ap.add_argument("--pair", action="store_true",
+                    help="paired-packet layout (two packets with "
+                         "independent stacks per program); forces "
+                         "gate=False on the incoherent workload")
     args = ap.parse_args()
 
     from tpurt.utils.profiling import enable_compilation_cache
@@ -109,13 +113,19 @@ def main():
     dual_kw = {}
     if args.dual:
         assert args.kernel == "wide", "--dual is a wide-kernel variant"
-        dual_kw = {"dual": True}
+        dual_kw["dual"] = True
         print("dual-pop step enabled (gate forced off)")
+    if args.pair:
+        assert args.kernel == "wide", "--pair is a wide-kernel variant"
+        assert not args.dual, "--pair and --dual do not compose"
+        dual_kw["pair"] = True
+        print("paired-packet layout enabled (gate forced off)")
+    plain_gate = args.dual or args.pair  # variants use the predicated step
 
     def closest(o, d, gate=False):
         t, prim, u, v = pallas_wide.traverse_packets(
             kbvh, o, d, t_min, cfg.t_max, active,
-            gate=gate and not args.dual, need_uv=False, **dual_kw)
+            gate=gate and not plain_gate, need_uv=False, **dual_kw)
         return t
 
     # 1) coherent camera packets

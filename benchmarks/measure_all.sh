@@ -16,5 +16,6 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 run python benchmarks/tpu_validation.py
 run python benchmarks/kernel_bench.py --reps 3 --json benchmarks/kernel_bench.json
 run python benchmarks/kernel_bench.py --reps 3 --dual --json benchmarks/kernel_bench_dual.json
+run python benchmarks/kernel_bench.py --reps 3 --pair --json benchmarks/kernel_bench_pair.json
 run python benchmarks/profile_phases.py --rows 256 --row0 400 --waves 8
 run python bench.py

@@ -298,3 +298,46 @@ def test_wide_kernel_dual_pop_parity():
     nb = ~np.asarray(b0)
     np.testing.assert_array_equal(np.asarray(p0)[nb], np.asarray(p1)[nb])
     np.testing.assert_array_equal(np.asarray(t0)[nb], np.asarray(t1)[nb])
+
+
+def test_wide_kernel_pair_parity():
+    """The paired-packet layout (two packets with independent stacks per
+    program) must match the single-packet kernel exactly: closest-hit
+    everywhere, occlusion `blocked` everywhere, occlusion prim/t on
+    non-blocked lanes (blocked lanes early-exit in pop order, unused
+    downstream). Includes the one-packet case (pair pads to a pair)."""
+    tris = _random_tris(300, seed=41)
+    tb = build_triangle_bvh(tris, group_size=4)
+    kb = make_wide_kernel_bvh(tb, tris)
+    o, d = _random_rays(2048, seed=42)
+    act = jnp.asarray(np.arange(2048) % 3 != 0)
+    t0, p0, u0, _ = traverse_packets(kb, o, d, jnp.zeros(2048), 1e9, act,
+                                     interpret=True)
+    t1, p1, u1, _ = traverse_packets(kb, o, d, jnp.zeros(2048), 1e9, act,
+                                     interpret=True, pair=True)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+
+    r = np.random.RandomState(43)
+    tl = jnp.asarray(0.3 + 4.0 * r.rand(2048), jnp.float32)
+    b0, t0, p0, _, _ = occlusion_packets(kb, o, d, jnp.zeros(2048), tl, act,
+                                         scene_has_alpha=False,
+                                         interpret=True)
+    b1, t1, p1, _, _ = occlusion_packets(kb, o, d, jnp.zeros(2048), tl, act,
+                                         scene_has_alpha=False,
+                                         interpret=True, pair=True)
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    nb = ~np.asarray(b0)
+    np.testing.assert_array_equal(np.asarray(p0)[nb], np.asarray(p1)[nb])
+    np.testing.assert_array_equal(np.asarray(t0)[nb], np.asarray(t1)[nb])
+
+    # one-packet batch: pair pads with a dead packet
+    o1, d1 = _random_rays(1024, seed=45)
+    act1 = jnp.ones(1024, bool)
+    ta, pa, *_ = traverse_packets(kb, o1, d1, jnp.zeros(1024), 1e9, act1,
+                                  interpret=True)
+    tb_, pb, *_ = traverse_packets(kb, o1, d1, jnp.zeros(1024), 1e9, act1,
+                                   interpret=True, pair=True)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb_))

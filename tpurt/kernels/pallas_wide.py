@@ -338,10 +338,11 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  tmin_ref, tlim_ref,
                  t_ref, prim_ref, blk_ref,
-                 stack_ref,
+                 stack_ref, stack2_ref,
                  *, group: int, use_masks: bool, use_opaque: bool,
                  occlusion: bool, all_definite: bool, resident: bool,
-                 gate: bool, unroll: int, dual: bool = False):
+                 gate: bool, unroll: int, dual: bool = False,
+                 pair: bool = False):
     """Stack-based 8-ary packet traversal (closest-hit or occlusion).
 
     Stack entries: wide node id (>= 0) or -(leaf id + 1). Slot hits of a
@@ -370,18 +371,42 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
     With `resident` the whole 8-octant node table lives in VMEM for the
     entire launch and the kernel indexes it by the packet's prefetched
     octant; otherwise nb_ref is the per-packet octant block (one
-    table-sized DMA whenever consecutive packets change octant)."""
-    oct_s = oct_ref[pl.program_id(0)] if resident else jnp.int32(0)
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    t_min = tmin_ref[:]
+    table-sized DMA whenever consecutive packets change octant).
 
-    tiny = jnp.float32(1e-20)
-    inv_x = jnp.where(dx >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dx), tiny)
-    inv_y = jnp.where(dy >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dy), tiny)
-    inv_z = jnp.where(dz >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dz), tiny)
+    With `pair` each program owns TWO packets (ray refs are (16, 128),
+    sides = sublane halves) with fully INDEPENDENT stacks (stack_ref /
+    stack2_ref) and carries: the two step chains share no state, so
+    their scalar latency chains overlap, and the ~0.9 us/iteration while
+    overhead amortizes over both packets. A side whose stack empties
+    no-ops (alive-guarded) until the other finishes — adjacent sorted
+    packets walk similar node sets, so the waste is bounded. Requires
+    `resident` (two octants per program need the whole table)."""
+    pid = pl.program_id(0)
 
-    stack_ref[0] = jnp.int32(0)  # wide root
+    def make_side(i):
+        """Bind one packet's rays, octant, and stack: returns the `side`
+        tuple threaded through the step closures. i=None is the
+        single-packet layout; i=0/1 the paired layout's halves."""
+        if i is None:
+            sl = slice(None)
+            oct_s = oct_ref[pid] if resident else jnp.int32(0)
+            stk = stack_ref
+        else:
+            sl = slice(i * _SUB, (i + 1) * _SUB)
+            oct_s = oct_ref[2 * pid + i]  # pair requires resident
+            stk = stack_ref if i == 0 else stack2_ref
+        ox, oy, oz = ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :]
+        dx, dy, dz = dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :]
+        t_min = tmin_ref[sl, :]
+
+        tiny = jnp.float32(1e-20)
+        inv_x = jnp.where(dx >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dx), tiny)
+        inv_y = jnp.where(dy >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dy), tiny)
+        inv_z = jnp.where(dz >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dz), tiny)
+
+        stk[0] = jnp.int32(0)  # wide root
+        return (oct_s, ox, oy, oz, dx, dy, dz, t_min,
+                inv_x, inv_y, inv_z, stk)
 
     # `blocked` rides the carry as f32 (i1 vector yields fail to
     # legalize). The while body runs _UNROLL steps per iteration: a
@@ -389,11 +414,13 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
     # writeback + loop-back; measured 1175 -> 475 ns/step at 4x), so
     # steps after stack exhaustion are alive-guarded no-ops and the cond
     # is only checked every _UNROLL steps.
-    def node_tests(entry, active, t_best, is_node):
+    def node_tests(entry, active, t_best, is_node, side):
         """8 slot tests -> one scalar hitmask + the row's (kinds, links).
         is_node=None means the caller cond-gated this path (gate=True);
         otherwise the hitmask is masked by is_node so a leaf step pushes
         nothing."""
+        (oct_s, ox, oy, oz, dx, dy, dz, t_min,
+         inv_x, inv_y, inv_z, stk) = side
         row = nb_ref[oct_s, jnp.maximum(entry, 0)]
         bf16 = nb_ref.dtype == jnp.bfloat16
 
@@ -443,7 +470,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
             links = [row[_LINK0 + s].astype(jnp.int32) for s in range(8)]
         return mask_scalar, kinds, links
 
-    def node_push(sp, mask_scalar, kinds, links):
+    def node_push(sp, mask_scalar, kinds, links, side):
         """Push far slots first (slots pre-sorted near-to-far per octant);
         kind == 0 gates EMPTY slots — their inverted placeholder box
         does not fail the slab test (min/max re-sorts the slabs), so
@@ -458,6 +485,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         stores for the price of one cheap branch. Inside the block a
         local cursor re-derives each store position; skipped entries
         sit above the stack top and are overwritten by the next push."""
+        stk = side[11]
         pushes = [((jnp.right_shift(mask_scalar, s) & 1) > 0)
                   & (kinds[s] > 0) for s in range(8)]
         sp_out = sp
@@ -469,17 +497,20 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
             for s in range(7, -1, -1):
                 child_entry = jnp.where(kinds[s] == 2, -(links[s] + 1),
                                         links[s])
-                stack_ref[sp] = child_entry
+                stk[sp] = child_entry
                 sp = sp + pushes[s].astype(jnp.int32)
 
         return sp_out
 
-    def node_path(entry, active, sp, t_best, is_node):
-        mask_scalar, kinds, links = node_tests(entry, active, t_best, is_node)
-        return node_push(sp, mask_scalar, kinds, links)
+    def node_path(entry, active, sp, t_best, is_node, side):
+        mask_scalar, kinds, links = node_tests(entry, active, t_best,
+                                               is_node, side)
+        return node_push(sp, mask_scalar, kinds, links, side)
 
-    def leaf_path(entry, active, t_best, prim, blocked, is_node):
+    def leaf_path(entry, active, t_best, prim, blocked, is_node, side):
         """G triangle tests (is_node semantics as in node_path)."""
+        (oct_s, ox, oy, oz, dx, dy, dz, t_min,
+         inv_x, inv_y, inv_z, stk) = side
         leaf = jnp.maximum(-entry - 1, 0)
         lrow = tr_ref[leaf]
         lactive = (active if is_node is None
@@ -512,6 +543,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         before e1 updates t_best only costs pruning, never correctness
         (box far-tests with a stale t_best admit a superset of nodes)."""
         sp, t_best, prim, blocked = carry
+        stk = side0[11]
         alive1 = sp > 0
         alive2 = sp > 1
         base = (blocked == 0.0) if occlusion else None
@@ -519,88 +551,142 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         act2 = (alive2 & base) if base is not None else alive2
         sp1 = sp - alive1.astype(jnp.int32)
         sp2 = sp1 - alive2.astype(jnp.int32)
-        e1 = jnp.where(alive1, stack_ref[jnp.maximum(sp1, 0)], jnp.int32(0))
-        e2 = jnp.where(alive2, stack_ref[jnp.maximum(sp2, 0)], jnp.int32(0))
+        e1 = jnp.where(alive1, stk[jnp.maximum(sp1, 0)], jnp.int32(0))
+        e2 = jnp.where(alive2, stk[jnp.maximum(sp2, 0)], jnp.int32(0))
         is_node1 = alive1 & (e1 >= 0)
         is_node2 = alive2 & (e2 >= 0)
 
-        m1, k1, l1 = node_tests(e1, act1, t_best, is_node1)
-        m2, k2, l2 = node_tests(e2, act2, t_best, is_node2)
-        sp_new = node_push(sp2, m2, k2, l2)
-        sp_new = node_push(sp_new, m1, k1, l1)
+        m1, k1, l1 = node_tests(e1, act1, t_best, is_node1, side0)
+        m2, k2, l2 = node_tests(e2, act2, t_best, is_node2, side0)
+        sp_new = node_push(sp2, m2, k2, l2, side0)
+        sp_new = node_push(sp_new, m1, k1, l1, side0)
 
         t_best, prim, blocked = leaf_path(e1, act1, t_best, prim, blocked,
-                                          is_node1)
+                                          is_node1, side0)
         t_best, prim, blocked = leaf_path(e2, act2, t_best, prim, blocked,
-                                          is_node2)
+                                          is_node2, side0)
         return sp_new, t_best, prim, blocked
 
-    def step(carry):
+    def side_pop(carry, side):
+        """Pop the side's next entry (predicated-step prologue)."""
         sp, t_best, prim, blocked = carry
+        stk = side[11]
         alive = sp > 0
         # per-ray activity is encoded in t_best (inactive -> -BIG), so the
         # only vector activity term left is occlusion's blocked early-out
         active = alive & (blocked == 0.0) if occlusion else alive
         sp = sp - alive.astype(jnp.int32)
-        entry = jnp.where(alive, stack_ref[jnp.maximum(sp, 0)], jnp.int32(0))
+        entry = jnp.where(alive, stk[jnp.maximum(sp, 0)], jnp.int32(0))
         is_node = alive & (entry >= 0)
+        return sp, entry, active, is_node
+
+    def step(carry):
+        sp, entry, active, is_node = side_pop(carry, side0)
+        _, t_best, prim, blocked = carry
 
         if gate:
             def do_node(sp, t_best, prim, blocked):
-                sp2 = node_path(entry, active, sp, t_best, None)
+                sp2 = node_path(entry, active, sp, t_best, None, side0)
                 return sp2, t_best, prim, blocked
 
             def do_leaf(sp, t_best, prim, blocked):
                 t2, p2, b2 = leaf_path(entry, active, t_best, prim,
-                                       blocked, None)
+                                       blocked, None, side0)
                 return sp, t2, p2, b2
 
             return jax.lax.cond(is_node, do_node, do_leaf,
                                 sp, t_best, prim, blocked)
 
-        sp = node_path(entry, active, sp, t_best, is_node)
+        sp = node_path(entry, active, sp, t_best, is_node, side0)
         t_best, prim, blocked = leaf_path(entry, active, t_best, prim,
-                                          blocked, is_node)
+                                          blocked, is_node, side0)
         return sp, t_best, prim, blocked
+
+    def step_pair(carry):
+        """One predicated step on EACH side per call: the sides share no
+        state (separate stacks, separate ray/carry registers), so their
+        pop -> row read -> hitmask -> push chains are fully independent
+        and overlap; phases are interleaved A/B to expose that to the
+        scheduler."""
+        ca, cb = carry[:4], carry[4:]
+        spA, eA, actA, inA = side_pop(ca, side0)
+        spB, eB, actB, inB = side_pop(cb, side1)
+        _, tA, pA, bA = ca
+        _, tB, pB, bB = cb
+        mA, kA, lA = node_tests(eA, actA, tA, inA, side0)
+        mB, kB, lB = node_tests(eB, actB, tB, inB, side1)
+        spA = node_push(spA, mA, kA, lA, side0)
+        spB = node_push(spB, mB, kB, lB, side1)
+        tA, pA, bA = leaf_path(eA, actA, tA, pA, bA, inA, side0)
+        tB, pB, bB = leaf_path(eB, actB, tB, pB, bB, inB, side1)
+        return (spA, tA, pA, bA, spB, tB, pB, bB)
 
     if dual:
         assert not gate, "dual-pop is implemented for the predicated step"
+    if pair:
+        assert not gate and not dual, "pair composes with the plain step"
+        assert resident, "pair needs the whole node table resident"
 
     def body(carry):
         for _ in range(unroll):
-            carry = step_dual(carry) if dual else step(carry)
+            if pair:
+                carry = step_pair(carry)
+            else:
+                carry = step_dual(carry) if dual else step(carry)
         return carry
 
-    def cond(carry):
-        sp = carry[0]
+    def side_live(sp, t_best, blocked):
         live = sp > 0
         if occlusion:
             # still-active = not blocked AND not inactive-encoded (-BIG)
-            live = live & jnp.any((carry[3] == 0.0) & (carry[1] > -1e37))
+            live = live & jnp.any((blocked == 0.0) & (t_best > -1e37))
         return live
 
-    init = (
-        jnp.int32(1),
-        tlim_ref[:],
-        jnp.full((_SUB, _LANE), -1, jnp.int32),
-        jnp.zeros((_SUB, _LANE), jnp.float32),
-    )
-    _, t_best, prim, blocked = jax.lax.while_loop(cond, body, init)
+    def cond(carry):
+        live = side_live(carry[0], carry[1], carry[3])
+        if pair:
+            live = live | side_live(carry[4], carry[5], carry[7])
+        return live
 
-    t_ref[:] = t_best
-    prim_ref[:] = prim
-    blk_ref[:] = blocked
+    def side_init(i):
+        sl = slice(None) if i is None else slice(i * _SUB, (i + 1) * _SUB)
+        return (
+            jnp.int32(1),
+            tlim_ref[sl, :],
+            jnp.full((_SUB, _LANE), -1, jnp.int32),
+            jnp.zeros((_SUB, _LANE), jnp.float32),
+        )
+
+    if pair:
+        side0 = make_side(0)
+        side1 = make_side(1)
+        out = jax.lax.while_loop(cond, body, side_init(0) + side_init(1))
+        t_ref[0:_SUB, :] = out[1]
+        prim_ref[0:_SUB, :] = out[2]
+        blk_ref[0:_SUB, :] = out[3]
+        t_ref[_SUB:2 * _SUB, :] = out[5]
+        prim_ref[_SUB:2 * _SUB, :] = out[6]
+        blk_ref[_SUB:2 * _SUB, :] = out[7]
+    else:
+        side0 = make_side(None)
+        _, t_best, prim, blocked = jax.lax.while_loop(cond, body,
+                                                      side_init(None))
+        t_ref[:] = t_best
+        prim_ref[:] = prim
+        blk_ref[:] = blocked
 
 
 @functools.partial(jax.jit, static_argnames=(
     "group", "occlusion", "all_definite", "gate", "unroll", "dual",
-    "interpret"))
+    "pair", "interpret"))
 def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                   tmin, tlim, *, group, occlusion, all_definite,
-                  gate=False, unroll=_UNROLL, dual=False, interpret=False):
+                  gate=False, unroll=_UNROLL, dual=False, pair=False,
+                  interpret=False):
     n_packets = ox.shape[0] // _SUB
     w = node_rows.shape[1]
-    ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p, oct_ref: (p, 0),
+    sub = 2 * _SUB if pair else _SUB
+    ray_spec = pl.BlockSpec((sub, _LANE), lambda p, oct_ref: (p, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     # whole-table residency: when the 8-octant node table + leaf table fit
@@ -616,16 +702,22 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     nodes_spec = full if resident else pl.BlockSpec(
         (1, w, _LANE), lambda p, oct_ref: (oct_ref[p], 0, 0),
         memory_space=pltpu.VMEM)
+    if pair:
+        assert resident, "pair needs the whole node table resident in VMEM"
+        assert n_packets % 2 == 0, "pair needs an even packet count"
     # dual-pop expands the second-from-top entry early, so per wide level
     # up to ~15 (vs 7) unexpanded siblings can sit on the stack — double
-    # the scratch bound (2 KiB of SMEM)
+    # the scratch bound (2 KiB of SMEM). pair keeps two fully independent
+    # stacks (separate scratch buffers, separate aliasing classes, so the
+    # two sides' SMEM traffic can reorder freely).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_packets,),
+        grid=(n_packets // 2 if pair else n_packets,),
         in_specs=[nodes_spec, full] + [ray_spec] * 8,
         out_specs=[ray_spec] * 3,
         scratch_shapes=[pltpu.SMEM((2 * _STACK if dual else _STACK,),
-                                   jnp.int32)],
+                                   jnp.int32),
+                        pltpu.SMEM((_STACK if pair else 1,), jnp.int32)],
     )
     use_masks = tri_rows.shape[1] >= group * 11
     use_opaque = tri_rows.shape[1] == group * 12
@@ -633,7 +725,7 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                                use_opaque=use_opaque,
                                occlusion=occlusion, all_definite=all_definite,
                                resident=resident, gate=gate, unroll=unroll,
-                               dual=dual)
+                               dual=dual, pair=pair)
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.int32),
@@ -653,9 +745,10 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     )(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz, tmin, tlim)
 
 
-def _layout(kbvh, o, d, t_min, t_limit, active):
+def _layout(kbvh, o, d, t_min, t_limit, active, pair=False):
     n = o.shape[0]
-    padded = max(PACKET, ((n + PACKET - 1) // PACKET) * PACKET)
+    quantum = 2 * PACKET if pair else PACKET  # pair pads to packet PAIRS
+    padded = max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
     def lay(x, fill):
         x = jnp.concatenate([x, jnp.full(padded - n, fill, x.dtype)]) if padded > n else x
@@ -706,7 +799,7 @@ def _uv_from_prim(kbvh: WideKernelBVH, o, d, prim):
 def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
                      interpret: bool = False, gate: bool = False,
                      need_uv: bool = True, unroll: int = _UNROLL,
-                     dual: bool = False):
+                     dual: bool = False, pair: bool = False):
     """Closest-hit via the wide kernel (same contract as
     pallas_traverse.traverse_packets). `gate=True` selects the
     cond-gated step structure — 1.43x faster for sorted incoherent
@@ -717,11 +810,13 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
     barycentrics inside its shade/alpha row gathers instead."""
     tribvh = kbvh.tribvh
     t_limit = jnp.full(o.shape[0], t_max, jnp.float32)
-    octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active)
+    octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active,
+                                pair=pair)
     t, prim, _ = _wide_packets(
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=False, all_definite=False,
-        gate=gate, unroll=unroll, dual=dual, interpret=interpret)
+        gate=gate, unroll=unroll, dual=dual, pair=pair,
+        interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
     if need_uv:
@@ -734,15 +829,17 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
 def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
                       scene_has_alpha: bool, interpret: bool = False,
                       need_uv: bool = True, unroll: int = _UNROLL,
-                      dual: bool = False):
+                      dual: bool = False, pair: bool = False):
     """Occlusion query via the wide kernel (same contract as
     pallas_traverse.occlusion_packets). need_uv as in traverse_packets."""
     tribvh = kbvh.tribvh
-    octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active)
+    octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active,
+                                pair=pair)
     t, prim, blocked = _wide_packets(
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=True,
         all_definite=not scene_has_alpha, unroll=unroll, dual=dual,
+        pair=pair,
         interpret=interpret)
     blocked = blocked.reshape(-1)[:n] > 0.0
     t = t.reshape(-1)[:n]
