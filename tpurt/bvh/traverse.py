@@ -45,6 +45,15 @@ from tpurt.kernels.intersect import (
     safe_inv_dir,
 )
 
+# wide-kernel step-variant policy (measured via kernel_bench --dual/--pair;
+# all off = the round-2 production configuration). pair degrades to the
+# single-packet layout on scenes too large for resident tables.
+WIDE_PAIR_CLOSEST = False
+WIDE_DUAL_CLOSEST = False
+WIDE_PAIR_OCCLUSION = False
+WIDE_DUAL_OCCLUSION = False
+
+
 @partial(jax.jit, static_argnames=("include_spheres",))
 def intersect_scene(
     bvh: LBVH,
@@ -203,8 +212,13 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
     from tpurt.kernels.pallas_wide import WideKernelBVH
 
     if isinstance(bvh, WideKernelBVH):
-        traverse_packets = partial(pallas_wide.traverse_packets,
-                                   gate=incoherent)
+        # step-variant policy, measured per ray class (kernel_bench):
+        # incoherent secondaries keep the cond-gated step; coherent waves
+        # take the paired-packet layout when measurements favor it
+        traverse_packets = partial(
+            pallas_wide.traverse_packets,
+            gate=incoherent and not WIDE_PAIR_CLOSEST,
+            pair=WIDE_PAIR_CLOSEST, dual=WIDE_DUAL_CLOSEST)
     elif not isinstance(bvh, KernelBVH):
         return intersect_scene(bvh, tri_pos, lights, o, d, t_min, t_max,
                                include_spheres=include_spheres, active=active)
@@ -314,7 +328,9 @@ def occlusion_hit(kbvh, o, d, t_min, t_limit, active, scene_has_alpha: bool,
     from tpurt.kernels.pallas_wide import WideKernelBVH
 
     if isinstance(kbvh, WideKernelBVH):
-        occlusion_packets = pallas_wide.occlusion_packets
+        occlusion_packets = partial(pallas_wide.occlusion_packets,
+                                    pair=WIDE_PAIR_OCCLUSION,
+                                    dual=WIDE_DUAL_OCCLUSION)
 
     n = o.shape[0]
     if active is None:

@@ -702,9 +702,14 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     nodes_spec = full if resident else pl.BlockSpec(
         (1, w, _LANE), lambda p, oct_ref: (oct_ref[p], 0, 0),
         memory_space=pltpu.VMEM)
-    if pair:
-        assert resident, "pair needs the whole node table resident in VMEM"
-        assert n_packets % 2 == 0, "pair needs an even packet count"
+    if pair and (not resident or n_packets % 2):
+        # pair needs resident tables (two octants per program) and an even
+        # packet count (wrappers pad; direct callers may not) — degrade to
+        # the single-packet layout rather than fail
+        pair = False
+        sub = _SUB
+        ray_spec = pl.BlockSpec((sub, _LANE), lambda p, oct_ref: (p, 0),
+                                memory_space=pltpu.VMEM)
     # dual-pop expands the second-from-top entry early, so per wide level
     # up to ~15 (vs 7) unexpanded siblings can sit on the stack — double
     # the scratch bound (2 KiB of SMEM). pair keeps two fully independent
