@@ -102,12 +102,11 @@ def _binary_depths(left: np.ndarray, right: np.ndarray) -> np.ndarray:
     return depth
 
 
-def collapse_to_wide(tribvh: TriBVH) -> tuple:
-    """Collapse the binary LBVH into 8-ary wide nodes (host-side NumPy;
-    builds are per-scene, the result is a static device table).
-
-    Returns (child_node (W, 8) terminal binary ids or -1,
-             wide_of_binary (n_internal,) wide id or -1)."""
+def _collapse_depth3(tribvh: TriBVH) -> tuple:
+    """Legacy collapse: wide nodes are the binary internals at
+    depth % 3 == 0 (guaranteed wide depth <= 20 at 60 binary levels, so
+    stack use is bounded by construction). Kept as the fallback when the
+    greedy collapse's exact stack bound would overflow _STACK."""
     bvh = tribvh.bvh
     left = np.asarray(bvh.left).astype(np.int64)
     right = np.asarray(bvh.right).astype(np.int64)
@@ -137,6 +136,100 @@ def collapse_to_wide(tribvh: TriBVH) -> tuple:
     return child_node, wide_of_binary
 
 
+def _stack_bound(child_node: np.ndarray, wide_of_binary: np.ndarray,
+                 n_int: int) -> int:
+    """Exact worst-case SMEM stack occupancy of the traversal over this
+    wide topology: S(w) = k_w + max over internal children S(c) (a pop of
+    w pushes up to k_w entries; while the deepest child is in flight its
+    siblings still occupy the stack — conservative over any slot order,
+    so valid for every octant's near-to-far permutation). +1 for the
+    root entry. Children always carry HIGHER wide ids than their parent
+    (queue-order assignment), so one reverse sweep suffices."""
+    w = child_node.shape[0]
+    s = np.zeros(w, np.int64)
+    k = (child_node >= 0).sum(axis=1)
+    is_int = (child_node >= 0) & (child_node < n_int)
+    for i in range(w - 1, -1, -1):
+        best = 0
+        for j in np.nonzero(is_int[i])[0]:
+            cw = wide_of_binary[child_node[i, j]]
+            if s[cw] > best:
+                best = s[cw]
+        s[i] = k[i] + best
+    return int(s[0]) + 1 if w else 1
+
+
+def collapse_to_wide(tribvh: TriBVH) -> tuple:
+    """Collapse the binary BVH into 8-ary wide nodes (host-side NumPy;
+    builds are per-scene, the result is a static device table).
+
+    Greedy frontier expansion: each wide node starts as one binary
+    internal and repeatedly expands its SMALLEST-subtree internal
+    terminal until it owns 8 terminals (or only leaves remain).
+    Smallest-first absorbs little subtrees whole (an unexpanded size-1
+    internal would otherwise become a 2-child wide node) and leaves the
+    big subtrees as child wide nodes, which can themselves absorb 7
+    internals each. Measured on the 215k-tri interior vs the depth%3
+    collapse: W 20392 -> 14806, slot fill 0.45 -> 0.67, f32 node+leaf
+    tables 111 -> 89 MB (back inside VMEM residency). Falls back to the
+    depth%3 collapse in the (pathological) case where the exact
+    traversal stack bound would overflow the kernel's SMEM stack.
+
+    Returns (child_node (W, 8) terminal binary ids or -1,
+             wide_of_binary (n_internal,) wide id or -1)."""
+    bvh = tribvh.bvh
+    left = np.asarray(bvh.left).astype(np.int64)
+    right = np.asarray(bvh.right).astype(np.int64)
+    n_int = bvh.num_internal
+    if n_int == 0:
+        # degenerate single-leaf tree: one wide node pointing at leaf 0
+        child = np.full((1, 8), -1, np.int64)
+        child[0, 0] = 0  # binary id n_int + 0
+        return child, np.full(0, -1, np.int64)
+    # subtree internal-node counts, bottom-up (deepest first)
+    depth = _binary_depths(left, right)
+    size = np.ones(n_int, np.int64)
+    for i in np.argsort(-depth):
+        if left[i] < n_int:
+            size[i] += size[left[i]]
+        if right[i] < n_int:
+            size[i] += size[right[i]]
+
+    wide_of_binary = np.full(n_int, -1, np.int64)
+    wide_of_binary[0] = 0
+    rows = []          # per wide node: list of terminal binary ids
+    queue = [0]        # binary roots of wide nodes, in wide-id order
+    qi = 0
+    while qi < len(queue):
+        r = queue[qi]
+        qi += 1
+        terms = [int(left[r]), int(right[r])]
+        while len(terms) < 8:
+            best, best_s = -1, None
+            for j, tn in enumerate(terms):
+                if tn < n_int and (best_s is None or size[tn] < best_s):
+                    best, best_s = j, size[tn]
+            if best < 0:
+                break
+            tn = terms.pop(best)
+            terms.append(int(left[tn]))
+            terms.append(int(right[tn]))
+        for tn in terms:
+            if tn < n_int:
+                wide_of_binary[tn] = len(queue)
+                queue.append(tn)
+        rows.append(terms)
+
+    w = len(rows)
+    child_node = np.full((w, 8), -1, np.int64)
+    for i, terms in enumerate(rows):
+        child_node[i, :len(terms)] = terms
+
+    if _stack_bound(child_node, wide_of_binary, n_int) > _STACK:
+        return _collapse_depth3(tribvh)
+    return child_node, wide_of_binary
+
+
 def _bf16_round(x: np.ndarray, up: bool) -> np.ndarray:
     """Round f32 -> bf16 conservatively (up=False: result <= x; up=True:
     result >= x), by stepping one bf16 ulp past a round-to-nearest cast
@@ -162,7 +255,7 @@ def _bf16_round(x: np.ndarray, up: bool) -> np.ndarray:
 
 def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
                                tri_alpha_mask=None, tri_alpha_opaque=None,
-                               box_dtype=np.float32):
+                               box_dtype=np.float32, collapse=None):
     """Build (node_rows (8, W, 128), tri_rows (L, G*9[+G][+G]+G)) for the
     wide kernel. Requires identity leaf order (build_triangle_bvh) and
     group_size*9 <= 128 like the binary packer. With tri_alpha_opaque (and
@@ -174,7 +267,8 @@ def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
     assert g * 10 <= _LANE, \
         f"group_size {g} does not fit a 128-lane leaf row (9 vertex + 1 id)"
     n_int = bvh.num_internal
-    child_node, wide_of_binary = collapse_to_wide(tribvh)
+    child_node, wide_of_binary = (collapse if collapse is not None
+                                  else collapse_to_wide(tribvh))
     w = child_node.shape[0]
 
     node_min = np.asarray(bvh.node_min)
@@ -247,29 +341,24 @@ def make_wide_kernel_bvh(tribvh: TriBVH, tri_pos: jnp.ndarray,
                          tri_alpha_mask=None,
                          tri_alpha_opaque=None,
                          box_dtype=None) -> "WideKernelBVH":
-    """box_dtype None = auto: f32 node rows while the whole table set fits
-    the VMEM residency budget, bf16 (half the node bytes, conservative
-    boxes — identical hits, see pack_scene_for_wide_kernel) once an f32
-    table would spill to per-packet DMA. Analogous memory squeeze to the
-    reference's driver-compacted BLAS
-    (AccelerationStructureBuilder.cpp:449-471)."""
+    """box_dtype None = auto: f32 node rows. The greedy collapse keeps
+    even 215k-tri scenes' f32 tables inside the VMEM residency budget
+    (~43 MB vs the depth%3 collapse's 111 MB); scenes beyond the budget
+    degrade to the per-packet octant-DMA path rather than to bf16 rows,
+    because Mosaic cannot dynamically row-load bf16 tables (dimension-1
+    indices of 16-bit memrefs must be provably 8-aligned — measured
+    compile failure on v5e). bf16 packing (conservative boxes, identical
+    hits) remains available explicitly for interpret-mode/testing until
+    that lowering exists. Analogous memory squeeze to the reference's
+    driver-compacted BLAS (AccelerationStructureBuilder.cpp:449-471)."""
     if box_dtype is None:
-        import ml_dtypes
-
-        # exact W (wide-node count): binary internals at depth % 3 == 0 —
-        # the same set collapse_to_wide promotes (a conservative
-        # n_leaves/2 estimate would flip 215k-tri scenes to bf16 even
-        # though their real f32 tables fit: W there is ~0.32 * leaves)
-        depth = _binary_depths(np.asarray(tribvh.bvh.left).astype(np.int64),
-                               np.asarray(tribvh.bvh.right).astype(np.int64))
-        w = int((depth % 3 == 0).sum())
-        f32_bytes = (8 * w + tribvh.bvh.num_leaves) * _LANE * 4
-        box_dtype = (np.float32 if f32_bytes < _RESIDENT_BUDGET
-                     else ml_dtypes.bfloat16)
+        box_dtype = np.float32
+    collapse = collapse_to_wide(tribvh)
     node_rows, tri_rows = pack_scene_for_wide_kernel(tribvh, tri_pos,
                                                      tri_alpha_mask,
                                                      tri_alpha_opaque,
-                                                     box_dtype=box_dtype)
+                                                     box_dtype=box_dtype,
+                                                     collapse=collapse)
     return WideKernelBVH(tribvh=tribvh, node_rows=node_rows,
                          tri_rows=tri_rows, tri_pos=jnp.asarray(tri_pos))
 
@@ -423,12 +512,15 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
          inv_x, inv_y, inv_z, stk) = side
         row = nb_ref[oct_s, jnp.maximum(entry, 0)]
         bf16 = nb_ref.dtype == jnp.bfloat16
+        if bf16:
+            # Mosaic can only squeeze 32-bit scalars out of vectors, so
+            # widen the whole row ONCE (one vector cast) and squeeze f32
+            # lanes below — per-lane `row[i].astype` would squeeze bf16
+            # first and fail lowering
+            row = row.astype(jnp.float32)
 
         def blane(i):
-            # box lanes: bf16 tables widen each scalar to f32 at read —
-            # conversions ride the scalar unit, the vector math is f32
-            # either way
-            return row[i].astype(jnp.float32) if bf16 else row[i]
+            return row[i]
 
         # pack per-slot packet hits as bits of ONE i32 vector
         hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
@@ -857,17 +949,13 @@ def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
 
 
 def _wide_vmem_bytes(n_leaves: int) -> int:
-    """Physical VMEM: double-buffered octant node slice + leaf table.
-    W <= ceil((n_leaves - 1) / 2) wide nodes for any collapse (every wide
-    node absorbs >= 2 binary internals except possibly the last level);
-    conservatively budget W = n_leaves / 2. Mirrors make_wide_kernel_bvh's
-    dtype auto-selection: node rows count 2 B/lane (bf16) whenever the f32
-    table set would exceed the residency budget."""
-    w = max(n_leaves // 2, 2)
-    node_item = 4
-    if (8 * w + n_leaves) * _LANE * 4 >= _RESIDENT_BUDGET:
-        node_item = 2  # auto-selected bf16 node rows
-    return (2 * w * node_item + n_leaves * 4) * _LANE
+    """Physical VMEM: double-buffered octant node slice + leaf table
+    (planning estimate for group-size selection; the exact table sizes
+    come from the real collapse). The greedy collapse yields W ~=
+    n_internal / 7 on SAH trees; budget W = n_leaves / 4 to stay
+    conservative against partially-filled wide nodes."""
+    w = max(n_leaves // 4, 2)
+    return (2 * w * 4 + n_leaves * 4) * _LANE
 
 
 def wide_supported(tribvh: TriBVH, vmem_budget_bytes=80 * 2 ** 20) -> bool:
