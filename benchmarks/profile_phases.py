@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--row0", type=int, default=400)
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--scale", default="full", choices=["full", "small"])
+    ap.add_argument("--exact", action="store_true",
+                    help="profile the exact 2-ray NEE estimator even when "
+                         "cfg.fold_bsdf_mis defaults on")
     args = ap.parse_args()
 
     from tpurt.utils.profiling import enable_compilation_cache
@@ -104,8 +107,20 @@ def main():
     def p_nee_dirs(state, sp, d):
         return W.nee_directions(scene, cfg, state, sp, d)
 
+    fold = bool(cfg.fold_bsdf_mis) and not args.exact
+
     @jax.jit
-    def p_shadow(nee_o, dir1, dir2, is_tri, throughput):
+    def p_shadow(nee_o, dir1, dir2, pick_env, is_tri, throughput):
+        if fold:
+            # folded estimator: ONE NEE ray (sample 1), classed by
+            # escape-proneness; sample 2 rides the next wave's trace
+            rgb1, a1, miss1 = W._trace_shadow(
+                scene, bvh, nee_o, dir1, is_tri, throughput, cfg,
+                has_alpha, ray_class=pick_env.astype(jnp.int32))
+            z = jnp.zeros_like(rgb1)
+            return (jnp.concatenate([rgb1, z]),
+                    jnp.concatenate([a1, jnp.zeros_like(a1)]),
+                    jnp.concatenate([miss1, jnp.zeros_like(miss1)]))
         return W._trace_shadow(
             scene, bvh,
             jnp.concatenate([nee_o, nee_o]),
@@ -167,6 +182,7 @@ def main():
             p_nee_dirs, state, sp, d)
         state = state2
         (rgb12, a12, miss12), t_ns = _timed(p_shadow, nee_o, dir1, dir2,
+                                            pick_env,
                                             is_tri, throughput)
         (o, d, state, radiance, throughput, albedo_prod, depth,
          active), t_mb = _timed(

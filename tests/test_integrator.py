@@ -153,3 +153,27 @@ def test_radiance_finite_on_interior(tmp_path):
     img = np.asarray(r.render(2))
     assert np.isfinite(img).all()
     assert img[..., :3].max() > 0.01  # something is lit
+
+
+def test_fold_bsdf_mis_matches_exact(box_path):
+    """The folded MIS estimator (cfg.fold_bsdf_mis, one BSDF draw shared
+    by the MIS-envmap term and the bounce) agrees with the reference's
+    exact two-ray estimator in expectation: same scene, same seeds, the
+    per-pixel means converge to the same image (identical term
+    expectations, see fold_mis_weight). Tolerance covers the residual
+    Monte-Carlo noise at this sample count."""
+    import dataclasses
+
+    cam = Camera.from_angles([2.0, 1.0, 2.0], np.arctan2(-2.0, -2.0), -0.3)
+    lights = [SphereLight((2.0, 2.0, 2.0), 0.3, (1.0, 1.0, 1.0), 40.0)]
+    cfg = RenderConfig(width=32, height=24, max_samples=32)
+    imgs = {}
+    for fold in (True, False):
+        c = dataclasses.replace(cfg, fold_bsdf_mis=fold)
+        r = Renderer.from_gltf(box_path, config=c, camera=cam, lights=lights)
+        imgs[fold] = np.asarray(r.render(32))[..., :3]
+    a, b = imgs[True], imgs[False]
+    rel = abs(a.mean() - b.mean()) / b.mean()
+    assert rel < 0.02, f"fold/exact mean radiance differs by {rel:.4f}"
+    rmse = float(np.sqrt(((a - b) ** 2).mean()))
+    assert rmse / b.mean() < 0.08, f"fold/exact image RMSE {rmse:.4f}"

@@ -80,6 +80,22 @@ class RenderConfig:
     # per-bounce-wave fixed costs amortize over k, at k x the launch time
     # and memory; progressive accumulation then advances k samples a step.
     spp_per_launch: int = 1
+    # Fold the BSDF-MIS sample into the bounce ray (the standard
+    # one-draw-serves-both wavefront construction, cf. pbrt): the
+    # reference's second NEE sample is ALWAYS the envmap branch (the dead
+    # lightIndex override, triangle.rchit:92) and contributes only when
+    # its ray escapes the scene (weightBSDFEnvmap zeroes surface and
+    # sphere hits, raytrace-common.glsl:102-107) — and the next wave's
+    # closest trace of the bounce ray answers exactly "did it escape".
+    # Folding halves the fused NEE shadow batch (measured 61% of band
+    # time). Per-term expectation is unchanged (a pdf-ratio correction
+    # covers the alpha<0.01 lanes where the reference's sampling alphas
+    # differ); the differences vs the reference are (a) sample
+    # correlation between the MIS term and the bounce (variance only,
+    # not the mean) and (b) the depth++-on-miss quirk (raytrace.rmiss:10)
+    # no longer consuming bounce budget for the folded MIS ray. False
+    # restores the reference's exact two-NEE-ray estimator.
+    fold_bsdf_mis: bool = True
 
     @property
     def tan_half_fov(self) -> float:

@@ -231,7 +231,7 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
 
 
 def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
-                  has_alpha: bool, interpret: bool = False):
+                  has_alpha: bool, interpret: bool = False, ray_class=None):
     """NEE shadow/MIS-ray resolution: the payload protocol of a full
     closest-hit trace (rgb + alpha code 1 surface / 0 light / -4 envmap),
     computed as an OCCLUSION query.
@@ -266,11 +266,12 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
     t_limit = jnp.where(s_hit, s_t, cfg.t_max)
 
     if isinstance(bvh, (KernelBVH, WideKernelBVH)):
-        # the caller fuses light-sample rays (distance-bounded, retire
-        # fast) and BSDF/envmap rays (escape-prone, walk far) into one
-        # batch: the class bit keeps them in SEPARATE packets so the
-        # early-exit packets actually retire early
-        ray_class = (jnp.arange(n) >= (n // 2)).astype(jnp.int32)
+        # distance-bounded light rays (retire fast) and escape-prone
+        # envmap/BSDF rays sort into SEPARATE packets via the class bit,
+        # so early-exit packets actually retire early. Default (fused-2m
+        # callers): first half = light samples, second half = BSDF rays.
+        if ray_class is None:
+            ray_class = (jnp.arange(n) >= (n // 2)).astype(jnp.int32)
         blocked, hit = occlusion_hit(bvh, o, d, t_min0, t_limit, active,
                                      has_alpha, ray_class=ray_class,
                                      interpret=interpret)
@@ -574,6 +575,85 @@ def mis_contributions(scene: DeviceScene, cfg: RenderConfig, sp: Shade,
         return (nee1 + nee2) * jnp.float32(nl + 1)  # :110
 
 
+def mis_light_contribution(scene: DeviceScene, cfg: RenderConfig, sp: Shade,
+                           wo, dir1, pick_env, lt, rgb1, a1):
+    """Sample-1-only MIS resolution for the folded estimator
+    (cfg.fold_bsdf_mis): identical to `mis_contributions` minus the
+    traced sample-2 term, which folds into the bounce ray (see
+    `fold_mis_weight`). Returns (N, 3), already scaled by (nl + 1)."""
+    nl = scene.num_lights
+    nw = wo.shape[0]
+    with jax.named_scope("mis_weights"):
+        al_l = jnp.maximum(sp.alpha, 0.00001)
+        bsdf_f1 = B.microfacet_bsdf(dir1, wo, sp.shading_n, al_l,
+                                    cfg.eta_i, cfg.eta_t)
+        bsdf_pdf1 = B.pdf_microfacet(dir1, wo, sp.shading_n, al_l)
+        if nl > 0:
+            light_pdf1 = pdf_sphere(sp.hit_point, dir1, lt[:, :3], lt[:, 3])
+        else:
+            light_pdf1 = jnp.zeros(nw)
+        vis1 = jnp.maximum(1.0 - jnp.maximum(a1, 0.0), 0.0)
+        w_light = (
+            bsdf_f1
+            * jnp.abs(jnp.sum(dir1 * sp.shading_n, axis=-1))
+            * vis1
+            * B.power_heuristic(1.0, light_pdf1, 1.0, bsdf_pdf1)
+            / jnp.maximum(light_pdf1, 1e-30)
+        )
+        w_light = jnp.where((light_pdf1 <= 0.0) | (bsdf_pdf1 <= 0.0), 0.0,
+                            w_light)
+        contrib_light = w_light[:, None] * rgb1
+
+        al_le = jnp.maximum(sp.alpha, 0.001)
+        bsdf_fe = B.microfacet_bsdf(dir1, wo, sp.shading_n, al_le,
+                                    cfg.eta_i, cfg.eta_t)
+        bsdf_pdfe = B.pdf_microfacet(dir1, wo, sp.shading_n, al_le)
+        env_pdf = 1.0 / (2.0 * B.PI)
+        vis_env1 = jnp.where(a1 < -1.0, 1.0, 0.0)
+        w_env = (
+            bsdf_fe
+            * jnp.abs(jnp.sum(dir1 * sp.shading_n, axis=-1))
+            * vis_env1
+            * B.power_heuristic(1.0, env_pdf, 1.0, bsdf_pdfe)
+            / env_pdf
+        )
+        w_env = jnp.where(bsdf_pdfe <= 0.0, 0.0, w_env)
+        contrib_env = w_env[:, None] * rgb1
+
+        nee1 = jnp.where(pick_env[:, None], contrib_env, contrib_light)
+        return nee1 * jnp.float32(nl + 1)  # :110
+
+
+def fold_mis_weight(sp: Shade, wo, bounce_dir, al_b):
+    """Scalar weight of the FOLDED sample-2 term (cfg.fold_bsdf_mis):
+    weightBSDFEnvmap (raytrace-common.glsl:95-112) evaluated on the
+    bounce direction, times the importance ratio pdf_q/pdf_s that makes
+    the reuse unbiased when the bounce was sampled with a different
+    alpha than the reference's dir2 (sampling alpha sp.alpha vs
+    evaluation alpha al_b = max(alpha, 0.01), triangle.rchit:96,106,193).
+    For alpha >= 0.01 the distributions coincide (ratio 1); for
+    alpha == 0 both references are the same deterministic reflection
+    (ratio 1); only 0 < alpha < 0.01 pays the ratio.
+
+    The caller multiplies by (nl + 1), throughput, the albedo chain, and
+    the escape indicator from the NEXT wave's closest trace of this same
+    bounce ray (radiance.a < -1 in the reference; kind == MISS here)."""
+    env_pdf = 1.0 / (2.0 * B.PI)
+    pdf_q = B.pdf_microfacet(bounce_dir, wo, sp.shading_n, al_b)
+    w = (B.microfacet_weight(bounce_dir, wo, sp.shading_n, al_b)
+         * B.power_heuristic(1.0, pdf_q, 1.0, env_pdf))
+    w = jnp.where(pdf_q <= 0.000005, 0.0, w)
+    w = jnp.where(jnp.any(jnp.isnan(bounce_dir), axis=-1), 0.0, w)
+    needs_ratio = (sp.alpha > 0.0) & (sp.alpha < 0.01)
+    pdf_s = B.pdf_microfacet(bounce_dir, wo, sp.shading_n,
+                             jnp.maximum(sp.alpha, 1e-8))
+    ratio = jnp.where(needs_ratio,
+                      jnp.where(pdf_s > 0.0,
+                                pdf_q / jnp.maximum(pdf_s, 1e-30), 0.0),
+                      1.0)
+    return w * ratio
+
+
 def bounce_sample(cfg: RenderConfig, state, sp: Shade, wo, d, throughput):
     """Sample the bounce direction + Russian roulette
     (triangle.rchit:192-218). Returns (state, bounce_dir, t_new, killed,
@@ -635,12 +715,20 @@ def trace_paths(
     depth = jnp.zeros(n, jnp.int32)           # payload.recursionDepth
     active = jnp.ones(n, bool)
 
+    fold = bool(cfg.fold_bsdf_mis)
+
     def shade_nee(args):
         """The whole per-hit XLA block of a wave: shading gathers +
-        textures, NEE direction draws, the fused 2m shadow trace, MIS
-        resolution, and the bounce sample (triangle.rchit:60-218). Pure
-        per-lane: results for lane i depend only on lane i's inputs, so
-        the block can run on a compacted hit-first permutation exactly."""
+        textures, NEE direction draws, the shadow trace (sample-1-only
+        when folding, fused 2m otherwise), MIS resolution, and the bounce
+        sample (triangle.rchit:60-218). Pure per-lane: results for lane i
+        depend only on lane i's inputs, so the block can run on a
+        compacted hit-first permutation exactly.
+
+        With cfg.fold_bsdf_mis the traced sample-2 ray is replaced by a
+        per-lane coefficient (`fold_w`, last output): the NEXT wave's
+        closest trace of the bounce ray supplies the escape indicator
+        (see fold_mis_weight). Without folding fold_w is all-zero."""
         o_s, d_s, state_s, thr_s, tri_s, t_s, prim_s, u_s, v_s = args
         m = o_s.shape[0]
         hit_s = Hit(t=t_s, kind=jnp.where(tri_s, KIND_TRIANGLE, KIND_MISS),
@@ -649,55 +737,94 @@ def trace_paths(
         # ---- shade: attributes + textures (triangle.rchit:120-184) -----
         sp = shade_hit(scene, cfg, tex_flags, o_s, d_s, hit_s)
 
-        # ---- NEE directions (:60-111); both rays trace as ONE fused 2m
-        # occlusion batch (shadow payloads never read surface attributes,
-        # triangle.rchit:114-117), halving the latency-bound per-iteration
-        # overheads of the traversal loop on TPU
+        # ---- NEE directions (:60-111). RNG order matches the reference
+        # in BOTH modes (nee draws, then bounce draws).
         state_s, nee_o, dir1, dir2, pick_env, lt, wo, al_b = nee_directions(
             scene, cfg, state_s, sp, d_s)
 
-        with jax.named_scope("trace_shadow"):
-            rgb12, a12, miss12 = _trace_shadow(
-                scene, bvh,
-                jnp.concatenate([nee_o, nee_o]),
-                jnp.concatenate([dir1, dir2]),
-                jnp.concatenate([tri_s, tri_s]),
-                jnp.concatenate([thr_s, thr_s]),
-                cfg, has_alpha,
-            )
-        # rmiss increments recursionDepth (raytrace.rmiss:10)
-        miss_inc = (miss12[:m].astype(jnp.int32)
-                    + miss12[m:].astype(jnp.int32))
-
-        local_l = sp.emissive + mis_contributions(
-            scene, cfg, sp, wo, dir1, dir2, pick_env, lt, al_b,
-            rgb12[:m], rgb12[m:], a12[:m], a12[m:])
-
-        # ---- bounce (triangle.rchit:192-218) ---------------------------
+        # ---- bounce (triangle.rchit:192-218); drawn before the shadow
+        # trace so the folded MIS weight can use bounce_dir (pure reorder
+        # of non-RNG work: state threads nee -> bounce as in the
+        # reference either way)
         state_s, bounce_dir, t_new, killed, offset = bounce_sample(
             cfg, state_s, sp, wo, d_s, thr_s)
+
+        if fold:
+            with jax.named_scope("trace_shadow"):
+                rgb1, a1, miss1 = _trace_shadow(
+                    scene, bvh, nee_o, dir1, tri_s, thr_s, cfg, has_alpha,
+                    ray_class=pick_env.astype(jnp.int32),
+                )
+            # rmiss increments recursionDepth (raytrace.rmiss:10); the
+            # folded sample-2 ray no longer consumes bounce budget
+            miss_inc = miss1.astype(jnp.int32)
+            local_l = sp.emissive + mis_light_contribution(
+                scene, cfg, sp, wo, dir1, pick_env, lt, rgb1, a1)
+            fold_w = (fold_mis_weight(sp, wo, bounce_dir, al_b)
+                      * jnp.float32(scene.num_lights + 1) * thr_s)
+        else:
+            # both rays trace as ONE fused 2m occlusion batch (shadow
+            # payloads never read surface attributes,
+            # triangle.rchit:114-117)
+            with jax.named_scope("trace_shadow"):
+                rgb12, a12, miss12 = _trace_shadow(
+                    scene, bvh,
+                    jnp.concatenate([nee_o, nee_o]),
+                    jnp.concatenate([dir1, dir2]),
+                    jnp.concatenate([tri_s, tri_s]),
+                    jnp.concatenate([thr_s, thr_s]),
+                    cfg, has_alpha,
+                )
+            miss_inc = (miss12[:m].astype(jnp.int32)
+                        + miss12[m:].astype(jnp.int32))
+            local_l = sp.emissive + mis_contributions(
+                scene, cfg, sp, wo, dir1, dir2, pick_env, lt, al_b,
+                rgb12[:m], rgb12[m:], a12[:m], a12[m:])
+            fold_w = jnp.zeros(m, jnp.float32)
+
         return (state_s, miss_inc, local_l, bounce_dir, t_new, killed,
-                sp.hit_point + offset, sp.albedo)
+                sp.hit_point + offset, sp.albedo, fold_w)
 
     def wave(carry, wave_idx, shade_compact=False):
         (o, d, state, radiance, throughput, albedo_prod, depth, rays_traced,
-         active) = carry
+         mis_coeff, active) = carry
         nw = o.shape[0]  # batch size (shrinks after wave compaction)
         include_spheres = wave_idx > 0  # static python bool per unrolled wave
+        sky = jnp.asarray(cfg.sky_color, jnp.float32)
+
+        # folded-MIS lanes awaiting their escape indicator: normally the
+        # continuing rays themselves, plus depth-capped lanes that bounce
+        # no further but still owe the reference's sample-2 term
+        # (triangle.rchit:192 skips the bounce but sampleLight at :188
+        # already traced dir2). All-zero in exact mode.
+        pending = jnp.any(mis_coeff != 0.0, axis=-1)
+        trace_act = active | pending
 
         with jax.named_scope("trace_closest"):
-            hit = _trace(scene, bvh, o, d, jnp.zeros(nw), active,
+            hit = _trace(scene, bvh, o, d, jnp.zeros(nw), trace_act,
                          include_spheres, cfg, has_alpha,
                          sort_rays=bool(wave_idx) or SORT_WAVE0,
                          incoherent=bool(wave_idx))
 
         is_tri = active & (hit.kind == KIND_TRIANGLE)
+        # LOGICAL traceRayEXT-equivalent count (the Mrays/s numerator):
+        # 1 per active wave ray + 2 NEE rays per shaded hit — the exact
+        # work the reference dispatches for this image. In fold mode one
+        # physical trace serves both the bounce and the MIS probe, so
+        # physical traces are fewer; the logical count stays comparable
+        # across fold on/off (work delivered, not launches).
         rays_traced = rays_traced + jnp.sum(active) + 2.0 * jnp.sum(is_tri)
         is_miss = active & (hit.kind == KIND_MISS)
+        # consume the folded sample-2 term: the bounce ray escaped ==
+        # the reference's dir2 payload alpha -4 (weightBSDFEnvmap,
+        # raytrace-common.glsl:102-107); sky radiance x carried weight
+        if fold:
+            esc = pending & (hit.kind == KIND_MISS)
+            radiance = radiance + jnp.where(
+                esc[:, None], mis_coeff * sky[None, :], 0.0)
         # camera-ray miss contributes the sky directly (rgen accumulates the
         # payload; bounce-ray miss contributes 0 via max(alpha=-4, 0))
         if wave_idx == 0:
-            sky = jnp.asarray(cfg.sky_color, jnp.float32)
             radiance = radiance + jnp.where(
                 is_miss[:, None], sky[None, :] * throughput[:, None], 0.0
             )
@@ -719,7 +846,7 @@ def trace_paths(
                 sub = (jnp.stack(cols[0:3], axis=1)[:cap],
                        jnp.stack(cols[3:6], axis=1)[:cap],
                        *(c[:cap] for c in cols[6:]))
-                st_c, mi_c, ll_c, bd_c, tn_c, kl_c, no_c, al_c = \
+                st_c, mi_c, ll_c, bd_c, tn_c, kl_c, no_c, al_c, fw_c = \
                     shade_nee(sub)
                 pad = nw - cap
                 z = jnp.zeros(pad, jnp.float32)
@@ -743,13 +870,15 @@ def trace_paths(
                     jnp.concatenate([no_c[:, 2], z]),
                     jnp.concatenate([al_c[:, 0], z]),
                     jnp.concatenate([al_c[:, 1], z]),
-                    jnp.concatenate([al_c[:, 2], z])))
+                    jnp.concatenate([al_c[:, 2], z]),
+                    jnp.concatenate([fw_c, z])))
                 return (outs[0], outs[1],
                         jnp.stack(outs[2:5], axis=1),
                         jnp.stack(outs[5:8], axis=1),
                         outs[8], outs[9],
                         jnp.stack(outs[10:13], axis=1),
-                        jnp.stack(outs[13:16], axis=1))
+                        jnp.stack(outs[13:16], axis=1),
+                        outs[16])
 
             with jax.named_scope("shade_compact"):
                 outs = jax.lax.cond(
@@ -758,7 +887,7 @@ def trace_paths(
         else:
             outs = shade_nee(shade_args)
         (state, miss_inc, local_l, bounce_dir, t_new, killed, new_o,
-         sh_albedo) = outs
+         sh_albedo, fold_w) = outs
 
         depth = depth + miss_inc
         can_bounce = depth < cfg.max_depth
@@ -771,26 +900,41 @@ def trace_paths(
             radiance = radiance + jnp.where(
                 add[:, None], albedo_prod * sh_albedo * local_l, 0.0
             )
+            # folded sample-2 coefficient for the next wave's escape
+            # indicator (all-zero in exact mode); includes this hit's
+            # albedo like every other term of incomingRadiance (:220)
+            mis_coeff = jnp.where(
+                add[:, None], albedo_prod * sh_albedo * fold_w[:, None], 0.0)
 
             cont = is_tri & can_bounce & ~killed
-            o = jnp.where(cont[:, None], new_o, o)
-            d = jnp.where(cont[:, None], bounce_dir, d)
+            # depth-capped `add` lanes bounce no further, but in fold
+            # mode their bounce ray must still be traced once for the
+            # escape indicator — load it into (o, d) too
+            upd = (cont | add) if fold else cont
+            o = jnp.where(upd[:, None], new_o, o)
+            d = jnp.where(upd[:, None], bounce_dir, d)
             albedo_prod = jnp.where(cont[:, None], albedo_prod * sh_albedo,
                                     albedo_prod)
             throughput = jnp.where(cont, t_new, throughput)
             active = cont
 
         return (o, d, state, radiance, throughput, albedo_prod, depth,
-                rays_traced, active), None
+                rays_traced, mis_coeff, active), None
 
+    mis_coeff0 = jnp.zeros((n, 3), jnp.float32)
     carry = (o, d, state, radiance, throughput, albedo_prod, depth,
-             rays_traced, active)
+             rays_traced, mis_coeff0, active)
     # wave 0 has different static behavior (cull mask / sky add), so unroll
     # the first wave and loop the rest while any ray survives
     carry, _ = wave(carry, 0)
 
     def cond(c):
-        return jnp.any(c[-1])
+        # pending folded-MIS lanes (mis_coeff != 0 on a dead lane) still
+        # owe one escape-probe trace, so they keep the loop alive too
+        live = jnp.any(c[-1])
+        if fold:
+            live = live | jnp.any(c[-2] != 0.0)
+        return live
 
     def body(c):
         # liveness decays without bound inside the tail loop, so the
@@ -825,12 +969,14 @@ def trace_paths(
             caps.append(c)
 
     def _to_args(c):
-        return (c[0], c[1], c[2], c[4], c[5], c[6], c[7], c[8])
+        return (c[0], c[1], c[2], c[4], c[5], c[6], c[7], c[8], c[9])
 
     def _tail(args, caps_left):
         """(o, d, state, throughput, albedo_prod, depth, rays_traced,
-        active) -> (radiance_delta (m, 3), rays_traced). Runs the wave
-        loop, descending the capacity ladder when survivors fit."""
+        mis_coeff, active) -> (radiance_delta (m, 3), rays_traced). Runs
+        the wave loop, descending the capacity ladder when survivors fit.
+        Folded-MIS pending lanes count as live for the ladder (they owe
+        one more trace, so they must survive the slice)."""
         from tpurt.bvh.traverse import _sort_rays
 
         m = args[0].shape[0]
@@ -839,7 +985,7 @@ def trace_paths(
             c = jax.lax.while_loop(
                 cond, body,
                 (args[0], args[1], args[2], jnp.zeros((m, 3), jnp.float32),
-                 args[3], args[4], args[5], args[6], args[7]))
+                 args[3], args[4], args[5], args[6], args[7], args[8]))
             return c[3], c[7]
         cap = caps_here[0]
 
@@ -847,19 +993,22 @@ def trace_paths(
             c = jax.lax.while_loop(
                 cond, body,
                 (a[0], a[1], a[2], jnp.zeros((m, 3), jnp.float32),
-                 a[3], a[4], a[5], a[6], a[7]))
+                 a[3], a[4], a[5], a[6], a[7], a[8]))
             return c[3], c[7]
 
         def compact_fn(a):
             (o, d, state, throughput, albedo_prod, depth, rays_traced,
-             active) = a
-            key = (~active).astype(jnp.int32)  # actives first
+             mis_coeff, active) = a
+            live = active | jnp.any(mis_coeff != 0.0, axis=-1)
+            key = (~live).astype(jnp.int32)  # live lanes first
             orig, cols = _sort_rays(
                 key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                       state, throughput, albedo_prod[:, 0],
-                      albedo_prod[:, 1], albedo_prod[:, 2], depth, active))
-            (o0, o1, o2, d0, d1, d2, st, tp, a0, a1, a2, dp, ac) = (
-                col[:cap] for col in cols)
+                      albedo_prod[:, 1], albedo_prod[:, 2], depth,
+                      mis_coeff[:, 0], mis_coeff[:, 1], mis_coeff[:, 2],
+                      active))
+            (o0, o1, o2, d0, d1, d2, st, tp, a0, a1, a2, dp, m0, m1, m2,
+             ac) = (col[:cap] for col in cols)
             sub = (
                 jnp.stack([o0, o1, o2], axis=1),
                 jnp.stack([d0, d1, d2], axis=1),
@@ -869,6 +1018,7 @@ def trace_paths(
                 jnp.stack([a0, a1, a2], axis=1),
                 dp,
                 rays_traced,
+                jnp.stack([m0, m1, m2], axis=1),
                 ac,
             )
             # two waves at this capacity, then descend further if possible
@@ -882,7 +1032,8 @@ def trace_paths(
                 orig, (rad_sorted[:, 0], rad_sorted[:, 1], rad_sorted[:, 2]))
             return jnp.stack([r0, r1, r2], axis=1), rt
 
-        alive = jnp.sum(args[7].astype(jnp.int32))
+        live_ct = args[8] | jnp.any(args[7] != 0.0, axis=-1)
+        alive = jnp.sum(live_ct.astype(jnp.int32))
         return jax.lax.cond(alive <= cap, compact_fn, full_fn, args)
 
     if not caps:
