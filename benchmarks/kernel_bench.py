@@ -51,6 +51,15 @@ def main():
                     help="paired-packet layout (two packets with "
                          "independent stacks per program); forces "
                          "gate=False on the incoherent workload")
+    ap.add_argument("--arity", type=int, default=0,
+                    help="rebuild the wide tables at this branching "
+                         "factor (8 or 16; 0 = renderer default)")
+    ap.add_argument("--group", type=int, default=0,
+                    help="rebuild the triangle BVH at this leaf group "
+                         "size (0 = renderer default)")
+    ap.add_argument("--near", type=float, default=0.0,
+                    help="also time a two-pass distance-bounded closest "
+                         "trace with r0 = NEAR * scene_diag (e.g. 0.1)")
     args = ap.parse_args()
 
     from tpurt.utils.profiling import enable_compilation_cache
@@ -77,6 +86,24 @@ def main():
     r = Renderer.from_gltf(path, config=cfg, camera=cam, lights=lights)
     jax.block_until_ready(r.bvh)
     kbvh = r.bvh
+    if (args.arity and getattr(kbvh, "arity", 0) != args.arity) or (
+            args.group and kbvh.tribvh.group_size != args.group):
+        from tpurt.bvh.lbvh import build_triangle_bvh
+        from tpurt.kernels.pallas_wide import ARITY, make_wide_kernel_bvh
+
+        tribvh = kbvh.tribvh
+        if args.group and tribvh.group_size != args.group:
+            tribvh = build_triangle_bvh(r.device_scene.tri_pos,
+                                        group_size=args.group)
+        mask = r.device_scene.tri_alpha_mask if r.has_alpha else None
+        omask = r.device_scene.tri_alpha_opaque if r.has_alpha else None
+        kbvh = make_wide_kernel_bvh(tribvh, r.device_scene.tri_pos,
+                                    tri_alpha_mask=mask,
+                                    tri_alpha_opaque=omask,
+                                    arity=args.arity or ARITY)
+        jax.block_until_ready(kbvh.node_rows)
+        print(f"rebuilt wide tables at arity {kbvh.arity}, "
+              f"G={tribvh.group_size}: W={kbvh.node_rows.shape[1]}")
     if args.kernel == "swide":
         from tpurt.bvh.lbvh import build_triangle_bvh
         from tpurt.kernels import pallas_swide
@@ -155,6 +182,57 @@ def main():
     dt = _timed(lambda: closest(obs, dbs, gate=True), args.reps)
     results["incoherent_closest_ms"] = dt * 1e3
     results["incoherent_closest_mrays"] = n / dt / 1e6
+
+    if args.near > 0:
+        # two-pass distance-bounded closest trace: pass 1 with
+        # t_limit = near_frac * scene_diag commits near hits while the
+        # t_best seed prunes far subtrees; misses compact (they are
+        # already octant-morton sorted, so a stable miss-first partition
+        # keeps packet coherence) into an n/4 slice re-traced with
+        # t_min = r0 (exact: a hit below r0 would have committed in
+        # pass 1; pruning t < r0 in pass 2 drops nothing remaining)
+        from tpurt.bvh.traverse import _root_bounds
+
+        lo, hi = _root_bounds(kbvh)
+        r0 = args.near * float(jnp.linalg.norm(hi - lo))
+        capn = max(1024, (n // 4 + 1023) // 1024 * 1024)
+
+        @jax.jit
+        def closest_near(o, d):
+            t1, p1, _, _ = pallas_wide.traverse_packets(
+                kbvh, o, d, t_min, r0, active, gate=True, need_uv=False)
+            miss = p1 < 0
+            key = jnp.where(miss, jnp.arange(n, dtype=jnp.int32),
+                            jnp.int32(0x7FFFFFFF))
+            orig, (o0, o1, o2, d0, d1, d2, ms) = _sort_rays(
+                key, (o[:, 0], o[:, 1], o[:, 2],
+                      d[:, 0], d[:, 1], d[:, 2], miss))
+            oc = jnp.stack([o0[:capn], o1[:capn], o2[:capn]], axis=1)
+            dc = jnp.stack([d0[:capn], d1[:capn], d2[:capn]], axis=1)
+            t2, p2, _, _ = pallas_wide.traverse_packets(
+                kbvh, oc, dc, jnp.full(capn, r0 * (1.0 - 1e-6)),
+                cfg.t_max, ms[:capn], gate=True, need_uv=False)
+            pad = n - capn
+            t2 = jnp.concatenate([t2, jnp.full(pad, cfg.t_max)])
+            p2 = jnp.concatenate([p2, jnp.full(pad, -1, jnp.int32)])
+            _, (t2, p2) = _sort_rays(orig, (t2, p2))
+            t = jnp.where(miss, t2, t1)
+            p = jnp.where(miss, p2, p1)
+            return t, p, jnp.sum(miss.astype(jnp.int32))
+
+        tt, pp, nmiss = jax.block_until_ready(closest_near(obs, dbs))
+        # exactness vs the single-pass trace
+        t1p, p1p, _, _ = jax.block_until_ready(pallas_wide.traverse_packets(
+            kbvh, obs, dbs, t_min, cfg.t_max, active, need_uv=False))
+        agree = float((np.asarray(pp) == np.asarray(p1p)).mean())
+        overflow = int(nmiss) > capn
+        dt = _timed(lambda: closest_near(obs, dbs)[0], args.reps)
+        results["near2_closest_ms"] = dt * 1e3
+        results["near2_closest_mrays"] = n / dt / 1e6
+        results["near2_miss_frac"] = float(nmiss) / n
+        results["near2_prim_agree"] = agree
+        print(f"near2: r0={r0:.2f} miss_frac={float(nmiss)/n:.3f} "
+              f"overflow={overflow} prim_agree={agree:.4f}")
 
     # 3) occlusion, distance-bounded (NEE light rays toward light 0)
     lc = jnp.asarray(lights[2].position)

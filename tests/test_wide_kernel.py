@@ -341,3 +341,44 @@ def test_wide_kernel_pair_parity():
                                    interpret=True, pair=True)
     np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
     np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb_))
+
+
+def test_wide16_collapse_covers_every_leaf():
+    tris = _random_tris(333, seed=2)
+    tb = build_triangle_bvh(tris, group_size=4)
+    child_node, wide_of_binary = collapse_to_wide(tb, arity=16)
+    assert child_node.shape[1] == 16
+    n_int = tb.bvh.num_internal
+    leaves = child_node[(child_node >= n_int)]
+    np.testing.assert_array_equal(np.sort(leaves - n_int),
+                                  np.arange(tb.bvh.num_leaves))
+    internal = child_node[(child_node >= 0) & (child_node < n_int)]
+    assert (wide_of_binary[internal] >= 0).all()
+
+
+def test_wide16_matches_oracle_interpret():
+    """The 16-ary layout (96 box + 16 link + 16 kind lanes) commits the
+    same hits as the oracle and as the 8-ary layout."""
+    tris = _random_tris(300, seed=3)
+    tb = build_triangle_bvh(tris, group_size=4)
+    kb = make_wide_kernel_bvh(tb, tris, arity=16)
+    assert kb.arity == 16
+    o, d = _random_rays(1024, seed=4)
+    t, prim, u, v = traverse_packets(kb, o, d, jnp.zeros(1024), 1e9,
+                                     jnp.ones(1024, bool), interpret=True)
+    lights = jnp.zeros((0, 8), jnp.float32)
+    ref = intersect_brute_force(tris, lights, o, d, jnp.zeros(1024), 1e9,
+                                include_spheres=False)
+    np.testing.assert_array_equal(np.asarray(prim) >= 0,
+                                  np.asarray(ref.kind) == 1)
+    both = np.asarray(prim) >= 0
+    np.testing.assert_allclose(np.asarray(t)[both], np.asarray(ref.t)[both],
+                               rtol=1e-4)
+    # occlusion agrees too (distance-bounded)
+    r = np.random.RandomState(13)
+    t_limit = jnp.asarray(0.3 + 3.0 * r.rand(1024), jnp.float32)
+    blocked, _, _, _, _ = occlusion_packets(
+        kb, o, d, jnp.zeros(1024), t_limit, jnp.ones(1024, bool),
+        scene_has_alpha=False, interpret=True)
+    expect = (np.asarray(ref.kind) == 1) & (np.asarray(ref.t) < np.asarray(t_limit))
+    np.testing.assert_array_equal(np.asarray(blocked), expect)

@@ -31,6 +31,7 @@ traceRayEXT (raytrace.rgen:71) like its binary predecessor.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -45,6 +46,11 @@ from tpurt.bvh.lbvh import TriBVH
 PACKET = 1024
 _SUB, _LANE = 8, 128
 _STACK = 256
+# default branching factor of the wide nodes. 16-ary rows use the full
+# 128 lanes (16 slots x 6 box + 16 links + 16 kinds) and cover 4 binary
+# levels per step — steps are the serial cost, vector lanes are free, so
+# higher arity trades (cheap) vector work for (expensive) step count.
+ARITY = 8
 _UNROLL = 4  # traversal steps per while iteration (see _wide_kernel); A/B
 # against 8/16 on the 215k interior showed no consistent winner (run-to-run
 # variance ±20% dominates), so the lower compile-size unroll stays
@@ -68,9 +74,16 @@ _BKIND0 = 72
 _BIG = 3.0e38
 
 
-class WideKernelBVH(NamedTuple):
-    """TriBVH plus packed 8-ary tables (pytree; drop-in for TriBVH in
-    closest_hit dispatch, like KernelBVH)."""
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["tribvh", "node_rows", "tri_rows", "tri_pos"],
+    meta_fields=["arity"])
+@dataclasses.dataclass(frozen=True)
+class WideKernelBVH:
+    """TriBVH plus packed wide (8- or 16-ary) tables (pytree; drop-in for
+    TriBVH in closest_hit dispatch, like KernelBVH). `arity` is pytree
+    METADATA (static under jit), so the kernel's per-slot loops unroll on
+    it."""
 
     tribvh: TriBVH
     node_rows: jnp.ndarray  # (8, W, 128) f32, per-octant slot-sorted
@@ -84,6 +97,7 @@ class WideKernelBVH(NamedTuple):
     # kernel carries only t/prim/blocked: every dropped (8,128) carry
     # lowers live-register pressure in the hot while body)
     tri_pos: jnp.ndarray    # (T, 3, 3) f32
+    arity: int = ARITY
 
 
 def _binary_depths(left: np.ndarray, right: np.ndarray) -> np.ndarray:
@@ -102,29 +116,30 @@ def _binary_depths(left: np.ndarray, right: np.ndarray) -> np.ndarray:
     return depth
 
 
-def _collapse_depth3(tribvh: TriBVH) -> tuple:
+def _collapse_depth3(tribvh: TriBVH, levels: int = 3) -> tuple:
     """Legacy collapse: wide nodes are the binary internals at
-    depth % 3 == 0 (guaranteed wide depth <= 20 at 60 binary levels, so
-    stack use is bounded by construction). Kept as the fallback when the
-    greedy collapse's exact stack bound would overflow _STACK."""
+    depth % levels == 0 (guaranteed wide depth <= 20 at 60 binary levels,
+    so stack use is bounded by construction). Kept as the fallback when
+    the greedy collapse's exact stack bound would overflow _STACK."""
     bvh = tribvh.bvh
     left = np.asarray(bvh.left).astype(np.int64)
     right = np.asarray(bvh.right).astype(np.int64)
     n_int = bvh.num_internal
     depth = _binary_depths(left, right)
-    wide_binary = np.nonzero(depth % 3 == 0)[0]
+    wide_binary = np.nonzero(depth % levels == 0)[0]
     w = wide_binary.shape[0]
     wide_of_binary = np.full(n_int, -1, np.int64)
     wide_of_binary[wide_binary] = np.arange(w)
 
-    # walk all 8 bit-paths 3 levels down; a path that reaches a leaf early
-    # is valid only when its remaining bits are 0 (dedupes the leaf)
-    paths = np.arange(8, dtype=np.int64)
-    cur = np.repeat(wide_binary[:, None], 8, axis=1)
-    stopped = np.zeros((w, 8), bool)
-    valid = np.ones((w, 8), bool)
-    for step in range(3):
-        bit = (paths[None, :] >> (2 - step)) & 1
+    # walk all bit-paths `levels` levels down; a path that reaches a leaf
+    # early is valid only when its remaining bits are 0 (dedupes the leaf)
+    arity = 1 << levels
+    paths = np.arange(arity, dtype=np.int64)
+    cur = np.repeat(wide_binary[:, None], arity, axis=1)
+    stopped = np.zeros((w, arity), bool)
+    valid = np.ones((w, arity), bool)
+    for step in range(levels):
+        bit = (paths[None, :] >> (levels - 1 - step)) & 1
         is_leaf_now = cur >= n_int
         newly = ~stopped & is_leaf_now
         valid &= ~((stopped | newly) & (bit == 1))
@@ -159,9 +174,9 @@ def _stack_bound(child_node: np.ndarray, wide_of_binary: np.ndarray,
     return int(s[0]) + 1 if w else 1
 
 
-def collapse_to_wide(tribvh: TriBVH) -> tuple:
-    """Collapse the binary BVH into 8-ary wide nodes (host-side NumPy;
-    builds are per-scene, the result is a static device table).
+def collapse_to_wide(tribvh: TriBVH, arity: int = ARITY) -> tuple:
+    """Collapse the binary BVH into `arity`-ary wide nodes (host-side
+    NumPy; builds are per-scene, the result is a static device table).
 
     Greedy frontier expansion: each wide node starts as one binary
     internal and repeatedly expands its SMALLEST-subtree internal
@@ -175,15 +190,16 @@ def collapse_to_wide(tribvh: TriBVH) -> tuple:
     depth%3 collapse in the (pathological) case where the exact
     traversal stack bound would overflow the kernel's SMEM stack.
 
-    Returns (child_node (W, 8) terminal binary ids or -1,
+    Returns (child_node (W, arity) terminal binary ids or -1,
              wide_of_binary (n_internal,) wide id or -1)."""
     bvh = tribvh.bvh
     left = np.asarray(bvh.left).astype(np.int64)
     right = np.asarray(bvh.right).astype(np.int64)
     n_int = bvh.num_internal
+    levels = arity.bit_length() - 1  # 8 -> 3, 16 -> 4
     if n_int == 0:
         # degenerate single-leaf tree: one wide node pointing at leaf 0
-        child = np.full((1, 8), -1, np.int64)
+        child = np.full((1, arity), -1, np.int64)
         child[0, 0] = 0  # binary id n_int + 0
         return child, np.full(0, -1, np.int64)
     # subtree internal-node counts, bottom-up (deepest first)
@@ -204,7 +220,7 @@ def collapse_to_wide(tribvh: TriBVH) -> tuple:
         r = queue[qi]
         qi += 1
         terms = [int(left[r]), int(right[r])]
-        while len(terms) < 8:
+        while len(terms) < arity:
             best, best_s = -1, None
             for j, tn in enumerate(terms):
                 if tn < n_int and (best_s is None or size[tn] < best_s):
@@ -221,12 +237,12 @@ def collapse_to_wide(tribvh: TriBVH) -> tuple:
         rows.append(terms)
 
     w = len(rows)
-    child_node = np.full((w, 8), -1, np.int64)
+    child_node = np.full((w, arity), -1, np.int64)
     for i, terms in enumerate(rows):
         child_node[i, :len(terms)] = terms
 
     if _stack_bound(child_node, wide_of_binary, n_int) > _STACK:
-        return _collapse_depth3(tribvh)
+        return _collapse_depth3(tribvh, levels)
     return child_node, wide_of_binary
 
 
@@ -255,21 +271,28 @@ def _bf16_round(x: np.ndarray, up: bool) -> np.ndarray:
 
 def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
                                tri_alpha_mask=None, tri_alpha_opaque=None,
-                               box_dtype=np.float32, collapse=None):
+                               box_dtype=np.float32, collapse=None,
+                               arity: int = ARITY):
     """Build (node_rows (8, W, 128), tri_rows (L, G*9[+G][+G]+G)) for the
     wide kernel. Requires identity leaf order (build_triangle_bvh) and
     group_size*9 <= 128 like the binary packer. With tri_alpha_opaque (and
     lane room, G*12 <= 128), leaf rows carry BOTH 4x4 cell masks so the
     occlusion walk can early-exit on fully-opaque cells of alpha-tested
-    triangles (foliage interiors) instead of deferring to the XLA recheck."""
+    triangles (foliage interiors) instead of deferring to the XLA recheck.
+
+    Node-row lane layout is arity-dependent: slots*6 box lanes at 0,
+    links at 6*arity, kinds at 7*arity (8*arity <= 128 -> arity <= 16)."""
     bvh = tribvh.bvh
     g = tribvh.group_size
     assert g * 10 <= _LANE, \
         f"group_size {g} does not fit a 128-lane leaf row (9 vertex + 1 id)"
+    assert arity * 8 <= _LANE, f"arity {arity} node row exceeds 128 lanes"
     n_int = bvh.num_internal
     child_node, wide_of_binary = (collapse if collapse is not None
-                                  else collapse_to_wide(tribvh))
+                                  else collapse_to_wide(tribvh, arity))
+    assert child_node.shape[1] == arity, "collapse arity mismatch"
     w = child_node.shape[0]
+    link0, kind0 = 6 * arity, 7 * arity
 
     node_min = np.asarray(bvh.node_min)
     node_max = np.asarray(bvh.node_max)
@@ -288,11 +311,12 @@ def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
     kind = np.where(empty, 0, np.where(is_leaf, 2, 1))
 
     # per-octant slot sort: nearest child first along the octant direction
-    centers = 0.5 * (cmin + cmax)              # (W, 8, 3)
+    centers = 0.5 * (cmin + cmax)              # (W, arity, 3)
     bf16 = np.dtype(box_dtype).itemsize == 2
     if bf16:
         import ml_dtypes
 
+        assert arity == 8, "bf16 node rows are only laid out for arity 8"
         assert int(link.max(initial=0)) < (1 << 24), \
             "bf16 rows encode links in three base-256 lanes (< 2^24)"
         cmin = _bf16_round(cmin.astype(np.float32), up=False).astype(np.float32)
@@ -305,10 +329,10 @@ def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
                          1 - 2 * (o & 1)], np.float64)
         key = centers.astype(np.float64) @ sign
         key[empty] = np.inf
-        order = np.argsort(key, axis=1, kind="stable")  # (W, 8)
+        order = np.argsort(key, axis=1, kind="stable")  # (W, arity)
         gi = np.arange(w)[:, None]
         box = np.concatenate([cmin[gi, order], cmax[gi, order]], axis=2)
-        rows[o, :, _BOX0:_BOX0 + 48] = box.reshape(w, 48)
+        rows[o, :, _BOX0:_BOX0 + 6 * arity] = box.reshape(w, 6 * arity)
         if bf16:
             lo = link[gi, order]
             rows[o, :, _BLINKH0:_BLINKH0 + 8] = (lo >> 16).astype(np.float32)
@@ -316,8 +340,8 @@ def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
             rows[o, :, _BLINKL0:_BLINKL0 + 8] = (lo & 255).astype(np.float32)
             rows[o, :, _BKIND0:_BKIND0 + 8] = kind[gi, order]
         else:
-            rows[o, :, _LINK0:_LINK0 + 8] = link[gi, order]
-            rows[o, :, _KIND0:_KIND0 + 8] = kind[gi, order]
+            rows[o, :, link0:link0 + arity] = link[gi, order]
+            rows[o, :, kind0:kind0 + arity] = kind[gi, order]
 
     tri_sorted = tri_pos[tribvh.tri_order]
     tri_rows = tri_sorted.reshape(bvh.num_leaves, g * 9)
@@ -340,7 +364,8 @@ def pack_scene_for_wide_kernel(tribvh: TriBVH, tri_pos: jnp.ndarray,
 def make_wide_kernel_bvh(tribvh: TriBVH, tri_pos: jnp.ndarray,
                          tri_alpha_mask=None,
                          tri_alpha_opaque=None,
-                         box_dtype=None) -> "WideKernelBVH":
+                         box_dtype=None,
+                         arity: int = ARITY) -> "WideKernelBVH":
     """box_dtype None = auto: f32 node rows. The greedy collapse keeps
     even 215k-tri scenes' f32 tables inside the VMEM residency budget
     (~43 MB vs the depth%3 collapse's 111 MB); scenes beyond the budget
@@ -353,14 +378,17 @@ def make_wide_kernel_bvh(tribvh: TriBVH, tri_pos: jnp.ndarray,
     driver-compacted BLAS (AccelerationStructureBuilder.cpp:449-471)."""
     if box_dtype is None:
         box_dtype = np.float32
-    collapse = collapse_to_wide(tribvh)
+    collapse = collapse_to_wide(tribvh, arity)
+    arity = collapse[0].shape[1]  # the stack-bound fallback keeps arity
     node_rows, tri_rows = pack_scene_for_wide_kernel(tribvh, tri_pos,
                                                      tri_alpha_mask,
                                                      tri_alpha_opaque,
                                                      box_dtype=box_dtype,
-                                                     collapse=collapse)
+                                                     collapse=collapse,
+                                                     arity=arity)
     return WideKernelBVH(tribvh=tribvh, node_rows=node_rows,
-                         tri_rows=tri_rows, tri_pos=jnp.asarray(tri_pos))
+                         tri_rows=tri_rows, tri_pos=jnp.asarray(tri_pos),
+                         arity=arity)
 
 
 def _tri_test(row, k, t_min, t_best, prim, leaf, active,
@@ -431,7 +459,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                  *, group: int, use_masks: bool, use_opaque: bool,
                  occlusion: bool, all_definite: bool, resident: bool,
                  gate: bool, unroll: int, dual: bool = False,
-                 pair: bool = False):
+                 pair: bool = False, arity: int = ARITY):
     """Stack-based 8-ary packet traversal (closest-hit or occlusion).
 
     Stack entries: wide node id (>= 0) or -(leaf id + 1). Slot hits of a
@@ -513,6 +541,8 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         row = nb_ref[oct_s, jnp.maximum(entry, 0)]
         bf16 = nb_ref.dtype == jnp.bfloat16
         if bf16:
+            assert arity == 8, "bf16 node rows are only laid out for arity 8"
+        if bf16:
             # Mosaic can only squeeze 32-bit scalars out of vectors, so
             # widen the whole row ONCE (one vector cast) and squeeze f32
             # lanes below — per-lane `row[i].astype` would squeeze bf16
@@ -524,7 +554,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
         # pack per-slot packet hits as bits of ONE i32 vector
         hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
-        for s in range(8):
+        for s in range(arity):
             b = s * 6
             t0x = (blane(_BOX0 + b + 0) - ox) * inv_x
             t0y = (blane(_BOX0 + b + 1) - oy) * inv_y
@@ -558,8 +588,9 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                      + row[_BLINKM0 + s].astype(jnp.int32) * 256
                      + row[_BLINKL0 + s].astype(jnp.int32) for s in range(8)]
         else:
-            kinds = [row[_KIND0 + s].astype(jnp.int32) for s in range(8)]
-            links = [row[_LINK0 + s].astype(jnp.int32) for s in range(8)]
+            link0, kind0 = 6 * arity, 7 * arity
+            kinds = [row[kind0 + s].astype(jnp.int32) for s in range(arity)]
+            links = [row[link0 + s].astype(jnp.int32) for s in range(arity)]
         return mask_scalar, kinds, links
 
     def node_push(sp, mask_scalar, kinds, links, side):
@@ -579,14 +610,14 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         sit above the stack top and are overwritten by the next push."""
         stk = side[11]
         pushes = [((jnp.right_shift(mask_scalar, s) & 1) > 0)
-                  & (kinds[s] > 0) for s in range(8)]
+                  & (kinds[s] > 0) for s in range(arity)]
         sp_out = sp
-        for s in range(8):
+        for s in range(arity):
             sp_out = sp_out + pushes[s].astype(jnp.int32)
 
         @pl.when(mask_scalar != 0)
         def _(sp=sp):
-            for s in range(7, -1, -1):
+            for s in range(arity - 1, -1, -1):
                 child_entry = jnp.where(kinds[s] == 2, -(links[s] + 1),
                                         links[s])
                 stk[sp] = child_entry
@@ -770,11 +801,11 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "group", "occlusion", "all_definite", "gate", "unroll", "dual",
-    "pair", "interpret"))
+    "pair", "arity", "interpret"))
 def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                   tmin, tlim, *, group, occlusion, all_definite,
                   gate=False, unroll=_UNROLL, dual=False, pair=False,
-                  interpret=False):
+                  arity=ARITY, interpret=False):
     n_packets = ox.shape[0] // _SUB
     w = node_rows.shape[1]
     sub = 2 * _SUB if pair else _SUB
@@ -822,7 +853,7 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                                use_opaque=use_opaque,
                                occlusion=occlusion, all_definite=all_definite,
                                resident=resident, gate=gate, unroll=unroll,
-                               dual=dual, pair=pair)
+                               dual=dual, pair=pair, arity=arity)
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.int32),
@@ -913,7 +944,7 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=False, all_definite=False,
         gate=gate, unroll=unroll, dual=dual, pair=pair,
-        interpret=interpret)
+        arity=kbvh.arity, interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
     if need_uv:
@@ -936,7 +967,7 @@ def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=True,
         all_definite=not scene_has_alpha, unroll=unroll, dual=dual,
-        pair=pair,
+        pair=pair, arity=kbvh.arity,
         interpret=interpret)
     blocked = blocked.reshape(-1)[:n] > 0.0
     t = t.reshape(-1)[:n]
