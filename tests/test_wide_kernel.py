@@ -179,8 +179,8 @@ def test_wide_matches_binary_kernel():
 
 
 def test_pick_group_size_wide_scales():
-    assert pick_group_size_wide(1000) == 4
-    assert pick_group_size_wide(300_000) == 4  # wide tables keep G=4 at scale
+    assert pick_group_size_wide(1000) == 8
+    assert pick_group_size_wide(300_000) == 8  # wide tables keep G=8 at scale
 
 
 def test_wide_kernel_gate_parity():

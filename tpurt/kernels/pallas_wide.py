@@ -50,7 +50,14 @@ _STACK = 256
 # 128 lanes (16 slots x 6 box + 16 links + 16 kinds) and cover 4 binary
 # levels per step — steps are the serial cost, vector lanes are free, so
 # higher arity trades (cheap) vector work for (expensive) step count.
-ARITY = 8
+# Measured (215k-tri interior, 491k rays, with G=8 leaves): incoherent
+# closest 3.06 -> 3.86, occlusion 14.3 -> 18.0, coherent 9.8 -> 16.5
+# Mrays/s vs the 8-ary G=4 tables. (A two-pass distance-bounded closest
+# trace — t_limit = frac * diag, then re-trace compacted misses with
+# t_min = r0 — measured NO win on the same workload: miss fractions are
+# 28-60% at useful radii in the escape-heavy interior, kernel_bench
+# --near.)
+ARITY = 16
 _UNROLL = 4  # traversal steps per while iteration (see _wide_kernel); A/B
 # against 8/16 on the 215k interior showed no consistent winner (run-to-run
 # variance ±20% dominates), so the lower compile-size unroll stays
@@ -996,9 +1003,12 @@ def wide_supported(tribvh: TriBVH, vmem_budget_bytes=80 * 2 ** 20) -> bool:
 
 
 def pick_group_size_wide(num_tris: int, vmem_budget_bytes=80 * 2 ** 20) -> int:
-    """Smallest leaf group whose wide tables fit VMEM (sizes <= 11 keep
-    room for in-leaf alpha masks + id lanes, G*11 <= 128)."""
-    for g in (4, 6, 8, 10, 11):
+    """Leaf group for the wide tables: G=8 by preference (measured best
+    with the 16-ary nodes on the 215k interior — halving leaf pops beats
+    the fatter leaf AABBs: incoherent 3.47 -> 3.86, occlusion 12.8 ->
+    18.0 Mrays/s vs G=4), larger only if VMEM demands it (sizes <= 10
+    keep room for both in-leaf alpha-mask columns + id lanes)."""
+    for g in (8, 10, 11):
         n_leaves = max(-(-num_tris // g), 2)
         if _wide_vmem_bytes(n_leaves) < vmem_budget_bytes:
             return g
