@@ -211,8 +211,8 @@ def test_bf16_boxes_contain_f32_boxes():
 
     tris = _random_tris(333, seed=21)
     tb = build_triangle_bvh(tris, group_size=4)
-    rows32, _ = pack_scene_for_wide_kernel(tb, tris)
-    rows16, _ = pack_scene_for_wide_kernel(tb, tris,
+    rows32, _ = pack_scene_for_wide_kernel(tb, tris, arity=8)
+    rows16, _ = pack_scene_for_wide_kernel(tb, tris, arity=8,
                                            box_dtype=ml_dtypes.bfloat16)
     assert rows16.dtype == jnp.bfloat16
     b32 = np.asarray(rows32)[:, :, _BOX0:_BOX0 + 48].reshape(8, -1, 8, 6)
@@ -244,8 +244,9 @@ def test_bf16_tables_identical_hits():
 
     tris = _random_tris(300, seed=22)
     tb = build_triangle_bvh(tris, group_size=4)
-    kb32 = make_wide_kernel_bvh(tb, tris)
-    kb16 = make_wide_kernel_bvh(tb, tris, box_dtype=ml_dtypes.bfloat16)
+    kb32 = make_wide_kernel_bvh(tb, tris, arity=8)  # bf16 rows are 8-ary
+    kb16 = make_wide_kernel_bvh(tb, tris, arity=8,
+                                box_dtype=ml_dtypes.bfloat16)
     o, d = _random_rays(2048, seed=23)
     act = jnp.ones(2048, bool)
     t0, p0, u0, v0 = traverse_packets(kb32, o, d, jnp.zeros(2048), 1e9, act,
