@@ -26,27 +26,29 @@ import numpy as np
 
 
 def _time(fn, args, iters):
-    """Serialize iterations through a data dependency (arg0 is perturbed by
-    a scalar derived from the previous output) so async dispatch cannot
-    overlap or elide the work, then block on a fetched scalar."""
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    dep = jnp.zeros((), args[0].dtype)
-    for _ in range(iters):
-        if args[0].dtype == jnp.int32:
-            a0 = args[0] ^ dep
-        else:
-            a0 = args[0] + dep.astype(args[0].dtype) * 0
-        out = fn(a0, *args[1:])
-        # dep folds in one element of EVERY output leaf so no part of the
-        # computation can be skipped or left in flight
-        acc = jnp.zeros((), jnp.float32)
-        for leaf in jax.tree_util.tree_leaves(out):
-            acc = acc + leaf.ravel()[0].astype(jnp.float32)
-        dep = acc.astype(jnp.int32) & 0
-        dep.block_until_ready()
+    """Time `fn` by looping it INSIDE one jit launch with a carried data
+    dependency (remote-tunnel dispatch overhead otherwise swamps the
+    device time: eager per-iteration glue measured 100s of ms of pure
+    RTT). The dependency folds one element of every output leaf back into
+    the integer key so no iteration can be elided or overlapped."""
 
+    @jax.jit
+    def loop(a0, *rest):
+        def body(_, a0):
+            out = fn(a0, *rest)
+            acc = jnp.zeros((), jnp.float32)
+            for leaf in jax.tree_util.tree_leaves(out):
+                acc = acc + leaf.ravel()[0].astype(jnp.float32)
+            bit = acc.astype(jnp.int32) & 0
+            if a0.dtype == jnp.int32:
+                return a0 ^ bit
+            return a0 + bit.astype(a0.dtype)
+
+        return jax.lax.fori_loop(0, iters, body, a0)
+
+    loop(*args).block_until_ready()
+    t0 = time.perf_counter()
+    loop(*args).block_until_ready()
     return (time.perf_counter() - t0) / iters
 
 

@@ -383,3 +383,34 @@ def test_wide16_matches_oracle_interpret():
         scene_has_alpha=False, interpret=True)
     expect = (np.asarray(ref.kind) == 1) & (np.asarray(ref.t) < np.asarray(t_limit))
     np.testing.assert_array_equal(np.asarray(blocked), expect)
+
+
+def test_no_tmin_and_gate_variants_bit_exact():
+    """The static no_tmin (t_min == 0 folded to a constant) and the
+    cond-gated occlusion step must produce bit-identical results to the
+    default variants (they change execution structure, not math)."""
+    tris = _random_tris(300, seed=31)
+    tb = build_triangle_bvh(tris, group_size=4)
+    kb = make_wide_kernel_bvh(tb, tris)
+    o, d = _random_rays(2048, seed=32)
+    act = jnp.ones(2048, bool)
+    z = jnp.zeros(2048)
+
+    t0, p0, _, _ = traverse_packets(kb, o, d, z, 1e9, act, interpret=True)
+    t1, p1, _, _ = traverse_packets(kb, o, d, z, 1e9, act, interpret=True,
+                                    no_tmin=True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+    r = np.random.RandomState(33)
+    t_limit = jnp.asarray(0.3 + 3.0 * r.rand(2048), jnp.float32)
+    b0, th0, ph0, _, _ = occlusion_packets(kb, o, d, z, t_limit, act,
+                                           scene_has_alpha=False,
+                                           interpret=True)
+    for kw in (dict(gate=True), dict(no_tmin=True),
+               dict(gate=True, no_tmin=True)):
+        b1, th1, ph1, _, _ = occlusion_packets(kb, o, d, z, t_limit, act,
+                                               scene_has_alpha=False,
+                                               interpret=True, **kw)
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+        np.testing.assert_array_equal(np.asarray(th0), np.asarray(th1))

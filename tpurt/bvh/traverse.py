@@ -196,7 +196,7 @@ def intersect_scene(
 
 def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
                 include_spheres=True, active=None, interpret=False,
-                sort_rays=True, incoherent=False) -> Hit:
+                sort_rays=True, incoherent=False, no_tmin=False) -> Hit:
     """Closest-hit dispatcher: Pallas packet kernel when `bvh` is a
     KernelBVH (TPU, scene resident in VMEM), batched XLA walk otherwise.
 
@@ -218,7 +218,8 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
         traverse_packets = partial(
             pallas_wide.traverse_packets,
             gate=incoherent and not WIDE_PAIR_CLOSEST,
-            pair=WIDE_PAIR_CLOSEST, dual=WIDE_DUAL_CLOSEST)
+            pair=WIDE_PAIR_CLOSEST, dual=WIDE_DUAL_CLOSEST,
+            no_tmin=no_tmin)
     elif not isinstance(bvh, KernelBVH):
         return intersect_scene(bvh, tri_pos, lights, o, d, t_min, t_max,
                                include_spheres=include_spheres, active=active)
@@ -317,12 +318,21 @@ def _sort_rays(key, cols):
 
 
 def occlusion_hit(kbvh, o, d, t_min, t_limit, active, scene_has_alpha: bool,
-                  sort_rays=True, interpret=False, ray_class=None):
+                  sort_rays=True, interpret=False, ray_class=None,
+                  gate=True, no_tmin=False):
     """Occlusion query via the packet kernel (KernelBVH only; the XLA
     fallback path emulates occlusion with a closest-hit trace in the
     integrator). Returns (blocked (N,) bool, Hit of the closest accepted
     hit with t < t_limit — kind TRIANGLE where one exists, for the exact
-    alpha recheck)."""
+    alpha recheck).
+
+    `gate` selects the wide kernel's cond-gated step: measured 1.72x on
+    the REALISTIC folded NEE shadow batch (wave-1 215k interior, 445k
+    rays: 143 -> 83 ms; env-class alone 96 -> 58) — the synthetic
+    bounded-coherent kernel_bench batch that originally picked the
+    predicated step (38 vs 43 ms) does not represent the integrator's
+    occlusion population, whose steps are as leaf-heavy/all-miss as the
+    incoherent closest traces (see benchmarks/profile_shadow2.py)."""
     from tpurt.kernels import pallas_wide
     from tpurt.kernels.pallas_traverse import occlusion_packets
     from tpurt.kernels.pallas_wide import WideKernelBVH
@@ -330,7 +340,10 @@ def occlusion_hit(kbvh, o, d, t_min, t_limit, active, scene_has_alpha: bool,
     if isinstance(kbvh, WideKernelBVH):
         occlusion_packets = partial(pallas_wide.occlusion_packets,
                                     pair=WIDE_PAIR_OCCLUSION,
-                                    dual=WIDE_DUAL_OCCLUSION)
+                                    dual=WIDE_DUAL_OCCLUSION,
+                                    gate=gate and not WIDE_PAIR_OCCLUSION
+                                    and not WIDE_DUAL_OCCLUSION,
+                                    no_tmin=no_tmin)
 
     n = o.shape[0]
     if active is None:

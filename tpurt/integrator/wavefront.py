@@ -142,17 +142,21 @@ def _shade_capacity(n: int) -> int:
 
 def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
            has_alpha: bool, sort_rays: bool = True,
-           incoherent: bool = False, interpret: bool = False) -> Hit:
+           incoherent: bool = False, interpret: bool = False,
+           tmin_is_zero: bool = True) -> Hit:
     """Closest-hit trace with the alpha-test re-trace loop (replaces
     hardware any-hit, raytrace.rahit:57-58). `incoherent` marks
     secondary-bounce batches (selects the wide kernel's cond-gated step,
-    1.43x on those)."""
+    1.43x on those). `tmin_is_zero`: every wave-level caller passes
+    t_min0 == 0 (only the re-trace loop advances t_min), so the first
+    trace uses the kernel's static no-t_min variant."""
     from tpurt.bvh.traverse import _octant_morton_key, _sort_rays
 
     hit = closest_hit(
         bvh, scene.tri_pos, scene.lights, o, d, t_min0, cfg.t_max,
         include_spheres=include_spheres, active=active, sort_rays=sort_rays,
         incoherent=incoherent, interpret=interpret,
+        no_tmin=tmin_is_zero,
     )
     if not has_alpha:
         return hit
@@ -274,7 +278,7 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
             ray_class = (jnp.arange(n) >= (n // 2)).astype(jnp.int32)
         blocked, hit = occlusion_hit(bvh, o, d, t_min0, t_limit, active,
                                      has_alpha, ray_class=ray_class,
-                                     interpret=interpret)
+                                     interpret=interpret, no_tmin=True)
         if has_alpha:
             from tpurt.bvh.traverse import _octant_morton_key, _sort_rays
 

@@ -466,7 +466,8 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                  *, group: int, use_masks: bool, use_opaque: bool,
                  occlusion: bool, all_definite: bool, resident: bool,
                  gate: bool, unroll: int, dual: bool = False,
-                 pair: bool = False, arity: int = ARITY):
+                 pair: bool = False, arity: int = ARITY,
+                 no_tmin: bool = False):
     """Stack-based 8-ary packet traversal (closest-hit or occlusion).
 
     Stack entries: wide node id (>= 0) or -(leaf id + 1). Slot hits of a
@@ -521,7 +522,11 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
             stk = stack_ref if i == 0 else stack2_ref
         ox, oy, oz = ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :]
         dx, dy, dz = dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :]
-        t_min = tmin_ref[sl, :]
+        # wave-level traces always have t_min == 0 (only alpha re-traces
+        # advance it): the static no_tmin variant replaces the per-ray
+        # t_min vector with the constant 0 — one less live (8, 128) vreg
+        # across every traversal step
+        t_min = jnp.float32(0.0) if no_tmin else tmin_ref[sl, :]
 
         tiny = jnp.float32(1e-20)
         inv_x = jnp.where(dx >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dx), tiny)
@@ -808,11 +813,11 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "group", "occlusion", "all_definite", "gate", "unroll", "dual",
-    "pair", "arity", "interpret"))
+    "pair", "arity", "no_tmin", "interpret"))
 def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                   tmin, tlim, *, group, occlusion, all_definite,
                   gate=False, unroll=_UNROLL, dual=False, pair=False,
-                  arity=ARITY, interpret=False):
+                  arity=ARITY, no_tmin=False, interpret=False):
     n_packets = ox.shape[0] // _SUB
     w = node_rows.shape[1]
     sub = 2 * _SUB if pair else _SUB
@@ -860,7 +865,8 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                                use_opaque=use_opaque,
                                occlusion=occlusion, all_definite=all_definite,
                                resident=resident, gate=gate, unroll=unroll,
-                               dual=dual, pair=pair, arity=arity)
+                               dual=dual, pair=pair, arity=arity,
+                               no_tmin=no_tmin)
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.int32),
@@ -934,7 +940,8 @@ def _uv_from_prim(kbvh: WideKernelBVH, o, d, prim):
 def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
                      interpret: bool = False, gate: bool = False,
                      need_uv: bool = True, unroll: int = _UNROLL,
-                     dual: bool = False, pair: bool = False):
+                     dual: bool = False, pair: bool = False,
+                     no_tmin: bool = False):
     """Closest-hit via the wide kernel (same contract as
     pallas_traverse.traverse_packets). `gate=True` selects the
     cond-gated step structure — 1.43x faster for sorted incoherent
@@ -951,7 +958,7 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=False, all_definite=False,
         gate=gate, unroll=unroll, dual=dual, pair=pair,
-        arity=kbvh.arity, interpret=interpret)
+        arity=kbvh.arity, no_tmin=no_tmin, interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
     if need_uv:
@@ -964,9 +971,12 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
 def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
                       scene_has_alpha: bool, interpret: bool = False,
                       need_uv: bool = True, unroll: int = _UNROLL,
-                      dual: bool = False, pair: bool = False):
+                      dual: bool = False, pair: bool = False,
+                      gate: bool = False, no_tmin: bool = False):
     """Occlusion query via the wide kernel (same contract as
-    pallas_traverse.occlusion_packets). need_uv as in traverse_packets."""
+    pallas_traverse.occlusion_packets). need_uv as in traverse_packets;
+    `gate` as in the closest wrapper (cond-gated step — measure per ray
+    population; the predicated step usually wins on bounded NEE rays)."""
     tribvh = kbvh.tribvh
     octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active,
                                 pair=pair)
@@ -974,7 +984,7 @@ def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=True,
         all_definite=not scene_has_alpha, unroll=unroll, dual=dual,
-        pair=pair, arity=kbvh.arity,
+        pair=pair, arity=kbvh.arity, gate=gate, no_tmin=no_tmin,
         interpret=interpret)
     blocked = blocked.reshape(-1)[:n] > 0.0
     t = t.reshape(-1)[:n]
