@@ -76,40 +76,76 @@ SORT_WAVE0 = False           # camera rays: row-major is coherent enough
 SORT_RETRACE = False         # alpha re-trace loops (closest + occlusion)
 
 
-def _alpha_rejected(scene, h: Hit, mask) -> jnp.ndarray:
-    """Exact any-hit alpha test for committed hits (raytrace.rahit:53-58):
-    True where the hit must be ignored (albedo texture alpha < cutoff)."""
-    is_tri = h.kind == KIND_TRIANGLE
-    prim = jnp.clip(h.prim, 0, scene.tri_pos.shape[0] - 1)
+def _alpha_eval(scene, u, v, prim, tested) -> jnp.ndarray:
+    """Core of the exact any-hit alpha test: row gather + decided-cell
+    bits + (gated) texture tap. `tested` must already be restricted to
+    alpha-tested triangle hits."""
     # ONE fused row gather: [tested, cutoff, tex, uv0, uv1, uv2, tm, om]
     row = scene.tri_alpha_row[prim]
-    tested = (row[:, 0] > 0.0) & is_tri & mask
 
     # decided 4x4 barycentric cells skip the texture tap entirely (same
     # cell indexing as the in-kernel masks, pallas_wide._tri_test):
     # transparent bit -> rejected, opaque bit -> committed, else tap
-    cu = jnp.clip((h.u * 4.0).astype(jnp.int32), 0, 3)
-    cv = jnp.clip((h.v * 4.0).astype(jnp.int32), 0, 3)
+    cu = jnp.clip((u * 4.0).astype(jnp.int32), 0, 3)
+    cv = jnp.clip((v * 4.0).astype(jnp.int32), 0, 3)
     cell = cu * 4 + cv
     tbit = jnp.right_shift(row[:, 9].astype(jnp.int32), cell) & 1
     obit = jnp.right_shift(row[:, 10].astype(jnp.int32), cell) & 1
     undecided = tested & (tbit == 0) & (obit == 0)
 
     def evaluate(_):
-        w0 = 1.0 - h.u - h.v
-        uv_u = w0 * row[:, 3] + h.u * row[:, 5] + h.v * row[:, 7]
-        uv_v = w0 * row[:, 4] + h.u * row[:, 6] + h.v * row[:, 8]
+        w0 = 1.0 - u - v
+        uv_u = w0 * row[:, 3] + u * row[:, 5] + v * row[:, 7]
+        uv_v = w0 * row[:, 4] + u * row[:, 6] + v * row[:, 8]
         tex = row[:, 2].astype(jnp.int32)
         a = sample_texture_alpha_quad(scene.atlas_quad, scene.tex_table, tex,
                                       uv_u, uv_v)
         a = jnp.where(tex == NO_TEXTURE, 1.0, a)
         return undecided & (a < row[:, 1])
 
-    # most waves hit no undecided alpha-tested geometry at all: skip the
-    # texture tap entirely in that case
     by_tap = jax.lax.cond(jnp.any(undecided), evaluate,
                           lambda _: jnp.zeros_like(tested), None)
     return (tested & (tbit == 1)) | by_tap
+
+
+def _alpha_rejected(scene, h: Hit, mask) -> jnp.ndarray:
+    """Exact any-hit alpha test for committed hits (raytrace.rahit:53-58):
+    True where the hit must be ignored (albedo texture alpha < cutoff).
+
+    Cost structure: the (T, 11) row gather runs at ~84 ns/row, so a
+    full-batch evaluation costs ~40 ms per 491k-ray trace even when a
+    handful of lanes hit foliage. The cheap (T,) tri_alpha flag gather
+    pre-filters the lanes; when none are flagged the whole test is a
+    no-op, and when the flagged count fits the n/8 re-trace capacity the
+    row gather + cell test + tap run on a compacted index set (2-column
+    argsort + cap-sized gathers + scatter-back — no full-width sorts)."""
+    is_tri = h.kind == KIND_TRIANGLE
+    prim = jnp.clip(h.prim, 0, scene.tri_pos.shape[0] - 1)
+    tested = mask & is_tri & scene.tri_alpha[prim]
+    n = prim.shape[0]
+    cap = _retrace_capacity(n)
+    if cap == 0:
+        return _alpha_eval(scene, h.u, h.v, prim, tested)
+
+    def none_fn(_):
+        return jnp.zeros(n, bool)
+
+    def some_fn(_):
+        def compact_fn(_):
+            key = jnp.logical_not(tested).astype(jnp.int32)
+            idx = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
+                               num_keys=1)[1][:cap]
+            rej_c = _alpha_eval(scene, h.u[idx], h.v[idx], prim[idx],
+                                tested[idx])
+            return jnp.zeros(n, bool).at[idx].set(rej_c)
+
+        def full_fn(_):
+            return _alpha_eval(scene, h.u, h.v, prim, tested)
+
+        return jax.lax.cond(jnp.sum(tested.astype(jnp.int32)) <= cap,
+                            compact_fn, full_fn, None)
+
+    return jax.lax.cond(jnp.any(tested), some_fn, none_fn, None)
 
 
 def _retrace_capacity(n: int) -> int:
