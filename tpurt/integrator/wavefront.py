@@ -1274,7 +1274,12 @@ def render_sample_stats(
                                  rows=height, width=width, height=height,
                                  cfg=cfg, has_alpha=has_alpha,
                                  tex_flags=tex_flags)
-    bands, rays_total = [], 0.0
+    # Enqueue ALL band launches before any host sync: per-band
+    # block_until_ready()/float(rays) would serialize one tunnel
+    # round-trip per band (device idle while the host learns band k
+    # finished and re-dispatches band k+1). Async dispatch pipelines
+    # the launches; the single float() at the end syncs once.
+    bands, rays_parts = [], []
     row = 0
     while row < height:
         rows = min(chunk_rows, height - row)
@@ -1282,8 +1287,8 @@ def render_sample_stats(
                                        rows=rows, width=width, height=height,
                                        cfg=cfg, has_alpha=has_alpha,
                                        tex_flags=tex_flags)
-        band.block_until_ready()
         bands.append(band)
-        rays_total += float(rays)
+        rays_parts.append(rays)
         row += rows
+    rays_total = float(sum(jnp.asarray(r, jnp.float32) for r in rays_parts))
     return jnp.concatenate(bands, axis=0), rays_total
