@@ -102,18 +102,26 @@ def main():
                 has_alpha=r.has_alpha, chunk_rows=cfg.chunk_rows,
             )
             img.block_until_ready()
-        return float(rays)
+        return rays
 
     one(0, "compile_warmup")
 
-    total_rays = 0.0
+    logical = physical = 0.0
     for i in range(1, samples + 1):
-        total_rays += one(i, "render")
+        stats = one(i, "render")
+        logical += stats.logical
+        physical += stats.physical
 
     dt = timer.stats["render"].seconds
-    mrays = timer.mrays_per_sec("render", total_rays)
+    # headline Mrays/s uses PHYSICAL rays (what this build actually
+    # traced); logical = reference-equivalent traceRayEXT dispatches
+    # (> physical when fold_bsdf_mis merges the MIS probe into the
+    # bounce ray) is reported alongside for work-parity comparisons
+    mrays = timer.mrays_per_sec("render", physical)
+    mrays_logical = timer.mrays_per_sec("render", logical)
     print(timer.report(), file=sys.stderr)
-    print(f"[bench] {total_rays / 1e6:.1f} Mrays in {dt:.2f}s over "
+    print(f"[bench] {physical / 1e6:.1f} Mrays physical "
+          f"({logical / 1e6:.1f} logical) in {dt:.2f}s over "
           f"{samples} sample(s)", file=sys.stderr)
     print(json.dumps({
         "metric": f"sponza_like_{width}x{height}_mrays_per_sec"
@@ -121,6 +129,9 @@ def main():
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 4),
+        "rays_traced_physical": physical,
+        "rays_logical": logical,
+        "mrays_per_sec_logical": round(mrays_logical, 3),
     }))
 
 

@@ -27,16 +27,18 @@ def measure(name, renderer, cfg, samples, target_spp, tex_flags):
             has_alpha=renderer.has_alpha, chunk_rows=cfg.chunk_rows,
             tex_flags=tex_flags)
         jax.block_until_ready(img)
-        return float(rays)
+        return rays
 
     t0 = time.perf_counter()
     one(0)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    total_rays = sum(one(i) for i in range(1, samples + 1))
+    stats = [one(i) for i in range(1, samples + 1)]
     dt = time.perf_counter() - t0
+    physical = sum(s.physical for s in stats)
+    logical = sum(s.logical for s in stats)
     per_sample = dt / samples
-    mrays = total_rays / dt / 1e6
+    mrays = physical / dt / 1e6  # headline = physical rays (see RayStats)
     return {
         "config": name,
         "resolution": f"{cfg.width}x{cfg.height}",
@@ -45,7 +47,9 @@ def measure(name, renderer, cfg, samples, target_spp, tex_flags):
         "compile_s": round(compile_s, 1),
         "s_per_sample": round(per_sample, 3),
         "mrays_per_s": round(mrays, 3),
-        "rays_per_sample": round(total_rays / samples),
+        "mrays_per_s_logical": round(logical / dt / 1e6, 3),
+        "rays_per_sample": round(physical / samples),
+        "rays_logical_per_sample": round(logical / samples),
         "time_to_target_spp_s": round(per_sample * target_spp, 1),
     }
 

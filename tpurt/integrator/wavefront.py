@@ -49,6 +49,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpurt import rng
 from tpurt.bvh.lbvh import LBVH
@@ -74,6 +75,17 @@ PACKET_COMPACT = 1024
 # per launch — each site is toggled by what benchmarks showed actually wins
 SORT_WAVE0 = False           # camera rays: row-major is coherent enough
 SORT_RETRACE = False         # alpha re-trace loops (closest + occlusion)
+
+
+class RayStats(NamedTuple):
+    """Frame ray counts. `physical` = rays this build actually traced
+    (the honest Mrays/s numerator); `logical` = traceRayEXT-equivalent
+    rays the reference would dispatch for the same image (1 per active
+    wave ray + 2 NEE rays per shaded hit). With cfg.fold_bsdf_mis the
+    bounce ray doubles as the BSDF-MIS probe, so physical < logical."""
+
+    logical: float
+    physical: float
 
 
 def _alpha_eval(scene, u, v, prim, tested) -> jnp.ndarray:
@@ -741,15 +753,20 @@ def trace_paths(
     scene-level booleans; texture slots unused by every material skip their
     sampling entirely (each slot costs 4 gather taps per shaded wave).
 
-    Returns (N, 3) radiance (and, with return_stats, the number of logical
-    traceRayEXT-equivalent rays traced — 1 per active wave ray + 2 NEE rays
-    per shaded hit — the Mrays/s numerator). This is the shardable core:
+    Returns (N, 3) radiance (and, with return_stats, a (2,) ray-count
+    vector [logical, physical]: logical = traceRayEXT-equivalent rays —
+    1 per active wave ray + 2 NEE rays per shaded hit, the work the
+    reference dispatches for this image; physical = rays this integrator
+    actually traced — with fold_bsdf_mis one trace serves both the bounce
+    and the MIS probe, so physical < logical. Mrays/s headlines must use
+    PHYSICAL; logical measures reference-equivalent work delivered.)
+    This is the shardable core:
     `render_sample` adds ray generation + image reshape on top,
     `tpurt.parallel` shards ray/sample batches across a device mesh."""
     n = o.shape[0]
 
     radiance = jnp.zeros((n, 3), jnp.float32)
-    rays_traced = jnp.zeros((), jnp.float32)
+    rays_traced = jnp.zeros((2,), jnp.float32)  # [logical, physical]
     throughput = jnp.ones(n, jnp.float32)     # payload.rayThroughput
     albedo_prod = jnp.ones((n, 3), jnp.float32)
     depth = jnp.zeros(n, jnp.int32)           # payload.recursionDepth
@@ -847,13 +864,19 @@ def trace_paths(
                          incoherent=bool(wave_idx))
 
         is_tri = active & (hit.kind == KIND_TRIANGLE)
-        # LOGICAL traceRayEXT-equivalent count (the Mrays/s numerator):
-        # 1 per active wave ray + 2 NEE rays per shaded hit — the exact
-        # work the reference dispatches for this image. In fold mode one
-        # physical trace serves both the bounce and the MIS probe, so
-        # physical traces are fewer; the logical count stays comparable
-        # across fold on/off (work delivered, not launches).
-        rays_traced = rays_traced + jnp.sum(active) + 2.0 * jnp.sum(is_tri)
+        # Ray accounting, two numerators:
+        #   logical  = traceRayEXT-equivalent count: 1 per active wave ray
+        #     + 2 NEE rays per shaded hit — the exact work the reference
+        #     dispatches for this image (comparable across fold on/off).
+        #   physical = rays this build actually traced: every lane the
+        #     closest trace worked on (incl. fold-mode escape probes) +
+        #     1 (fold) or 2 (exact) shadow rays per shaded hit.
+        n_tri = jnp.sum(is_tri, dtype=jnp.float32)
+        rays_traced = rays_traced + jnp.stack([
+            jnp.sum(active, dtype=jnp.float32) + 2.0 * n_tri,
+            jnp.sum(trace_act, dtype=jnp.float32)
+            + (1.0 if fold else 2.0) * n_tri,
+        ])
         is_miss = active & (hit.kind == KIND_MISS)
         # consume the folded sample-2 term: the bounce ray escaped ==
         # the reference's dir2 payload alpha -4 (weightBSDFEnvmap,
@@ -1234,7 +1257,8 @@ def render_rows_stats(
     has_alpha: bool,
     tex_flags: Tuple[bool, bool, bool, bool] = (True, True, True, True),
 ):
-    """render_rows + the traced-ray count (for Mrays/s benchmarking)."""
+    """render_rows + the (2,) [logical, physical] traced-ray counts
+    (for Mrays/s benchmarking; see trace_paths on the distinction)."""
     spp = cfg.spp_per_launch
     o, d, state = camera_rays_for_rows(camera, row_start, rows, width, height,
                                        cfg.tan_half_fov, sample_index, cfg.seed,
@@ -1268,17 +1292,23 @@ def render_sample_stats(
     chunk_rows: int = 0,
     tex_flags: Tuple[bool, bool, bool, bool] = (True, True, True, True),
 ):
-    """render_sample + the traced-ray count, with optional row chunking."""
+    """render_sample + traced-ray counts, with optional row chunking.
+
+    Returns (img (H, W, 4), RayStats). RayStats.physical is the Mrays/s
+    numerator; .logical is the reference-equivalent work (trace_paths)."""
     if chunk_rows <= 0 or chunk_rows >= height:
-        return render_rows_stats(scene, bvh, camera, sample_index, 0,
-                                 rows=height, width=width, height=height,
-                                 cfg=cfg, has_alpha=has_alpha,
-                                 tex_flags=tex_flags)
+        img, rays = render_rows_stats(scene, bvh, camera, sample_index, 0,
+                                      rows=height, width=width, height=height,
+                                      cfg=cfg, has_alpha=has_alpha,
+                                      tex_flags=tex_flags)
+        r = np.asarray(rays, np.float64)
+        return img, RayStats(logical=float(r[0]), physical=float(r[1]))
     # Enqueue ALL band launches before any host sync: per-band
     # block_until_ready()/float(rays) would serialize one tunnel
     # round-trip per band (device idle while the host learns band k
     # finished and re-dispatches band k+1). Async dispatch pipelines
-    # the launches; the single float() at the end syncs once.
+    # the launches; the host-side reads below happen only after every
+    # launch (including the final concatenate) is already in flight.
     bands, rays_parts = [], []
     row = 0
     while row < height:
@@ -1290,5 +1320,10 @@ def render_sample_stats(
         bands.append(band)
         rays_parts.append(rays)
         row += rows
-    rays_total = float(sum(jnp.asarray(r, jnp.float32) for r in rays_parts))
-    return jnp.concatenate(bands, axis=0), rays_total
+    img = jnp.concatenate(bands, axis=0)  # dispatch before any blocking read
+    # per-band counts are f32 (fine: < 2^24 rays per band); accumulate the
+    # frame total in host doubles so the 1080p sum (19M+) stays exact
+    total = np.zeros(2, np.float64)
+    for r in rays_parts:
+        total += np.asarray(r, np.float64)
+    return img, RayStats(logical=float(total[0]), physical=float(total[1]))

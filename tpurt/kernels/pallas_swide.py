@@ -105,7 +105,10 @@ def pack_scene_for_swide(tribvh: TriBVH, tri_pos: jnp.ndarray,
     g = tribvh.group_size
     assert g == GROUP, f"swide kernel requires group_size {GROUP}, got {g}"
     n_int = bvh.num_internal
-    child_node, wide_of_binary = collapse_to_wide(tribvh)
+    # swide tiles are sublane-major (W, 8, 128): one slot per sublane —
+    # the kernel shape is fixed at 8-ary regardless of pallas_wide's
+    # current default ARITY (16-ary rows would need 16 sublanes).
+    child_node, wide_of_binary = collapse_to_wide(tribvh, arity=_SUB)
     w = child_node.shape[0]
     wide_binary = np.nonzero(wide_of_binary >= 0)[0]
 

@@ -78,14 +78,25 @@ class KernelTimer:
         return rays / st.seconds / 1e6
 
 
-def enable_compilation_cache(cache_dir: str = "/tmp/tpurt_xla_cache"):
+def enable_compilation_cache(cache_dir: str = None):
     """Enable JAX's persistent compilation cache (the analogue of the
     reference's offline SPIR-V compilation, CMakeLists.txt:40-53: shaders
     compile once at build time, not per run). TPU compiles through the
-    tunnel cost 20-40 s per config; cached reruns skip them entirely.
-    Safe to call more than once; no-op if the jax version lacks it."""
+    tunnel cost minutes per config on a 1-core host; cached reruns skip
+    them entirely. The default directory lives NEXT TO THE PACKAGE
+    (.xla_cache at the repo root, gitignored) rather than in /tmp:
+    /tmp is wiped between sessions on ephemeral hosts, which forced a
+    full cold recompile (~10 min at Sponza 1080p) on every fresh boot.
+    Override with TPURT_XLA_CACHE_DIR. Safe to call more than once;
+    no-op if the jax version lacks it."""
     import os
 
+    if cache_dir is None:
+        cache_dir = os.environ.get("TPURT_XLA_CACHE_DIR")
+    if cache_dir is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        cache_dir = os.path.join(repo_root, ".xla_cache")
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
