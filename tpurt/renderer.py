@@ -10,6 +10,7 @@ Raytracer.cpp:399-402)."""
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional, Sequence
 
@@ -27,6 +28,23 @@ from tpurt.scene import DeviceScene, SceneData, build_device_scene, camera_for_r
 from tpurt.scene.gltf import load_gltf
 
 
+def _is_launch_failure(err: Exception) -> bool:
+    """True for errors that look like the backend killing an in-flight
+    launch (tunnel wall-time limit, preemption, transient transport
+    loss) — the class of failures a smaller-band retry can fix. False
+    for programming errors (shape/dtype/compile failures), which must
+    propagate. Matched by type name + message because jaxlib's
+    XlaRuntimeError class path varies across versions."""
+    if type(err).__name__ not in (
+            "XlaRuntimeError", "JaxRuntimeError", "RuntimeError"):
+        return False
+    msg = str(err).lower()
+    needles = ("deadline", "timed out", "timeout", "cancelled", "canceled",
+               "killed", "preempt", "unavailable", "aborted",
+               "connection reset", "socket closed")
+    return any(n in msg for n in needles)
+
+
 class Renderer:
     def __init__(
         self,
@@ -34,7 +52,11 @@ class Renderer:
         config: RenderConfig = RenderConfig(),
         lights: Sequence[SphereLight] = (),
         camera: Optional[Camera] = None,
+        bvh=None,
     ):
+        """`bvh`: a prebuilt acceleration structure (TriBVH /
+        WideKernelBVH / KernelBVH) to use instead of building one — the
+        scene-cache warm path (tpurt/scene/cache.py)."""
         self.config = config
         if isinstance(scene, DeviceScene):
             self.device_scene = scene
@@ -51,6 +73,10 @@ class Renderer:
             for t in (mats.tex_albedo, mats.tex_mr, mats.tex_normal,
                       mats.tex_emissive)
         )
+        if bvh is not None:
+            self.bvh = bvh
+            self.reset()
+            return
         from tpurt.kernels.pallas_wide import pick_group_size_wide
 
         group_size = pick_group_size_wide(int(self.device_scene.tri_pos.shape[0]))
@@ -88,8 +114,40 @@ class Renderer:
         config: RenderConfig = RenderConfig(),
         lights: Sequence[SphereLight] = (),
         camera: Optional[Camera] = None,
+        cache: bool = True,
     ) -> "Renderer":
-        return cls(load_gltf(paths), config=config, lights=lights, camera=camera)
+        """Load a glTF/GLB scene and build the renderer. With `cache`
+        (default), the packed device arrays + BVH tables are memoized on
+        disk keyed by scene-file bytes (tpurt/scene/cache.py) — warm
+        starts skip minutes of host-side packing at Sponza scale, the
+        analogue of the reference's seconds-scale setup submits
+        (ModelLoader.cpp:378-379)."""
+        from tpurt.scene import cache as scache
+
+        cache_dir = scache.default_cache_dir() if cache else None
+        if not cache_dir:
+            return cls(load_gltf(paths), config=config, lights=lights,
+                       camera=camera)
+        from tpurt.kernels.pallas_wide import ARITY
+
+        plist = [paths] if isinstance(paths, (str, bytes)) else list(paths)
+        key = scache.scene_cache_key(plist, lights, ARITY,
+                                     jax.default_backend())
+        cpath = os.path.join(cache_dir, key + ".npz")
+        loaded = scache.load_artifacts(cpath)
+        if loaded is not None:
+            ds, bvh, default_cam = loaded
+            return cls(ds, config=config, lights=lights,
+                       camera=camera or default_cam, bvh=bvh)
+        sd = load_gltf(paths)
+        default_cam = camera_for_render(sd.camera)
+        r = cls(sd, config=config, lights=lights, camera=camera)
+        # store the SceneData-resolved DEFAULT camera (not any user
+        # override) so warm starts (DeviceScene path, which has no scene
+        # camera) resolve the same default
+        scache.save_artifacts(cpath, r.device_scene, r.bvh,
+                              camera=default_cam)
+        return r
 
     # ---- progressive accumulation (Raytracer.cpp:247-253, 399-402) ------
 
@@ -106,6 +164,15 @@ class Renderer:
         self._pacer = FramePacer()
         self._wall_start: Optional[float] = None
         self._time_base = 0.0
+        # adaptive launch sizing (the swapchain-robustness analogue,
+        # RayTracingDevice.cpp:360-416): remote/tunneled backends kill
+        # launches past a wall-time limit; on such a failure step() rolls
+        # back to the newest still-valid accumulation state and halves the
+        # row band. The learned band size survives reset() (the limit is a
+        # property of the backend, not of this accumulation run).
+        if not hasattr(self, "_chunk_rows_now"):
+            self._chunk_rows_now = cfg.chunk_rows
+        self._accum_history: list = []  # [(sample_count, accum), ...]
 
     def set_camera(self, camera: Camera) -> None:
         """Any camera change resets accumulation (Raytracer.cpp:184,196-227)."""
@@ -115,7 +182,25 @@ class Renderer:
     def step(self) -> jnp.ndarray:
         """One frame = one progressive launch (cfg.spp_per_launch samples
         per pixel; the reference traces nSamples = 1 per frame,
-        raytrace.rgen:33). Returns the current accumulation buffer."""
+        raytrace.rgen:33). Returns the current accumulation buffer.
+
+        Launch-failure resilience: if the backend kills a launch (the
+        ~60 s wall-time limit on tunneled devices surfaces as an
+        XlaRuntimeError at the next blocking point), roll back to the
+        newest launch that actually completed, halve the row band, and
+        re-render from there — the render survives instead of dying
+        mid-frame (the reference's swapchain OUT_OF_DATE recreation
+        analogue, RayTracingDevice.cpp:360-416)."""
+        for _ in range(8):  # each retry halves the band; 8 is < any height
+            try:
+                return self._step_once()
+            except Exception as e:  # noqa: BLE001 — filtered below
+                if not _is_launch_failure(e):
+                    raise
+                self._recover_launch_failure(e)
+        return self._step_once()
+
+    def _step_once(self) -> jnp.ndarray:
         cfg = self.config
         if self.sample_count >= cfg.max_samples:
             self._finish()
@@ -133,7 +218,7 @@ class Renderer:
             height=cfg.height,
             cfg=cfg,
             has_alpha=self.has_alpha,
-            chunk_rows=cfg.chunk_rows,
+            chunk_rows=self._chunk_rows_now,
             tex_flags=self.tex_flags,
         )
         self.sample_count += spp
@@ -142,10 +227,48 @@ class Renderer:
         self.accum = film.accumulate(self.accum, radiance, launch_index + 1)
         # async: block only when the in-flight ring is full (3 deep)
         self._pacer.submit(self.accum)
+        self._accum_history.append((self.sample_count, self.accum))
+        if len(self._accum_history) > 6:
+            del self._accum_history[0]
         self.sample_time = self._time_base + time.perf_counter() - self._wall_start
         if self.sample_count >= cfg.max_samples:
             self._finish()
         return self.accum
+
+    def _recover_launch_failure(self, err: Exception) -> None:
+        """Roll back to the newest accumulation state that materializes
+        (async dispatch means the failure may surface launches later),
+        halve the row band, and continue. Raises if even halving to the
+        minimum band could not help (band already minimal)."""
+        import sys
+
+        # newest-first probe: a poisoned lazy value raises on await
+        good = None
+        for count, acc in reversed(self._accum_history):
+            try:
+                jax.block_until_ready(acc)
+            except Exception:  # noqa: BLE001 — poisoned, walk further back
+                continue
+            good = (count, acc)
+            break
+        cfg = self.config
+        prev = self._chunk_rows_now if self._chunk_rows_now > 0 else cfg.height
+        new = max(prev // 2, 8)  # 8 rows = one packet tile, the floor
+        if new >= prev:
+            raise err
+        self._chunk_rows_now = new
+        self._pacer = FramePacer()
+        if good is None:
+            self.accum = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+            self.sample_count = 0
+            self._accum_history = []
+        else:
+            self.sample_count, self.accum = good
+            self._accum_history = [
+                (c, a) for c, a in self._accum_history if c <= good[0]]
+        print(f"[tpurt] launch failed ({type(err).__name__}); retrying from "
+              f"sample {self.sample_count} with chunk_rows="
+              f"{self._chunk_rows_now}", file=sys.stderr)
 
     def drain(self) -> None:
         """Wait for all in-flight launches and fold the elapsed span into

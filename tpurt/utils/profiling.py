@@ -88,9 +88,20 @@ def enable_compilation_cache(cache_dir: str = None):
     /tmp is wiped between sessions on ephemeral hosts, which forced a
     full cold recompile (~10 min at Sponza 1080p) on every fresh boot.
     Override with TPURT_XLA_CACHE_DIR. Safe to call more than once;
-    no-op if the jax version lacks it."""
+    no-op if the jax version lacks it.
+
+    CPU-backend processes (tests, local smoke runs) never enable the
+    cache: CPU compiles are fast enough that the cache buys nothing,
+    and serializing CPU executables for the cache write has segfaulted
+    the interpreter mid-suite (observed in compilation_cache.
+    put_executable_and_time under the full pytest run)."""
     import os
 
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:  # pragma: no cover - backend probe must not fail
+        pass
     if cache_dir is None:
         cache_dir = os.environ.get("TPURT_XLA_CACHE_DIR")
     if cache_dir is None:
