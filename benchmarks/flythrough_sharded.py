@@ -58,7 +58,7 @@ def main():
     enable_compilation_cache()
     from tpurt.camera import Camera, fly_path
     from tpurt.config import RenderConfig, SphereLight
-    from tpurt.parallel import make_mesh, render_sample_sharded
+    from tpurt.parallel import make_mesh, render_sample_stats_sharded
     from tpurt.renderer import Renderer
     from tpurt.scene.procedural import write_sponza_like_scene
 
@@ -97,27 +97,30 @@ def main():
     cams = fly_path([[-4.0, -4.0, 0.0], [4.0, -4.0, 0.0]],
                     [0.0, -5.0, -3.0], frames)
     per_frame = []
-    total_rays = 0.0
+    total_rays = total_logical = 0.0
     t_all = time.perf_counter()
     for i, cam in enumerate(cams[:frames]):
         t0 = time.perf_counter()
         accum = None
+        frays = flog = 0.0
         for s in range(spf):
-            radiance, delivered = render_sample_sharded(
+            radiance, delivered, stats = render_sample_stats_sharded(
                 r.device_scene, r.bvh, cam, s, mesh,
                 width=width, height=height, cfg=cfg, has_alpha=r.has_alpha,
                 tex_flags=r.tex_flags)
             jax.block_until_ready(radiance)
             accum = radiance if accum is None else accum + radiance
+            frays += stats.physical  # whole-mesh psum'd counters
+            flog += stats.logical
         dt = time.perf_counter() - t0
-        # conservative ray accounting: primary rays only (each launch
-        # delivers `delivered` spp over the whole frame)
-        rays = float(width * height * delivered * spf)
         per_frame.append({"frame": i, "s": dt,
-                          "mrays_s": rays / dt / 1e6})
-        total_rays += rays
-        print(f"frame {i}: {dt:.2f}s  {rays / dt / 1e6:.4f} Mrays/s "
-              f"(primary, {delivered} spp/launch x {spf} launches)")
+                          "mrays_s": frays / dt / 1e6,
+                          "mrays_s_logical": flog / dt / 1e6})
+        total_rays += frays
+        total_logical += flog
+        print(f"frame {i}: {dt:.2f}s  {frays / dt / 1e6:.4f} Mrays/s "
+              f"physical ({flog / dt / 1e6:.4f} logical; "
+              f"{delivered} spp/launch x {spf} launches)")
     wall = time.perf_counter() - t_all
     out = {
         "mesh": f"{n_tile}x{n_spp}",
@@ -127,6 +130,7 @@ def main():
         "samples_per_frame": spf,
         "wall_s": wall,
         "mrays_s_mean": total_rays / wall / 1e6,
+        "mrays_s_mean_logical": total_logical / wall / 1e6,
         "per_frame": per_frame,
     }
     print(json.dumps({k: out[k] for k in

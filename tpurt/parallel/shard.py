@@ -44,11 +44,16 @@ _LAUNCH_CACHE = {}
 
 
 def _get_launch(mesh: Mesh, band_rows: int, width: int, height: int,
-                cfg: RenderConfig, has_alpha: bool, tex_flags):
+                cfg: RenderConfig, has_alpha: bool, tex_flags,
+                stats: bool = False):
     """Build (and cache) the jitted shard-mapped launch for one row band of
     `band_rows` rows (a multiple of the tile axis). Without the outer jit,
-    shard_map dispatches eagerly op-by-op — orders of magnitude slower."""
-    key = (mesh, band_rows, width, height, cfg, has_alpha, tex_flags)
+    shard_map dispatches eagerly op-by-op — orders of magnitude slower.
+
+    With `stats` the launch also returns the (2,) [logical, physical]
+    traced-ray counts (trace_paths), psum-merged over BOTH mesh axes —
+    the multi-chip Mrays/s numerators (benchmarks/flythrough_sharded.py)."""
+    key = (mesh, band_rows, width, height, cfg, has_alpha, tex_flags, stats)
     if key in _LAUNCH_CACHE:
         return _LAUNCH_CACHE[key]
 
@@ -64,7 +69,8 @@ def _get_launch(mesh: Mesh, band_rows: int, width: int, height: int,
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
-        out_specs=P("tile", None, None),
+        out_specs=(P("tile", None, None), P()) if stats
+        else P("tile", None, None),
         # the traversal while_loop seeds its carry from replicated arrays
         # and updates it with device-varying rays; skip the VMA consistency
         # check rather than pvary-tagging every init deep in generic code
@@ -87,8 +93,10 @@ def _get_launch(mesh: Mesh, band_rows: int, width: int, height: int,
         if ts is not None:  # square-ish packet frusta, like render_rows
             o, d, state = (tile_pack(x, spp, rows, width, *ts)
                            for x in (o, d, state))
-        radiance = trace_paths(scene, bvh, o, d, state, cfg=cfg,
-                               has_alpha=has_alpha, tex_flags=tex_flags)
+        out = trace_paths(scene, bvh, o, d, state, cfg=cfg,
+                          has_alpha=has_alpha, tex_flags=tex_flags,
+                          return_stats=stats)
+        radiance, rays = out if stats else (out, None)
         if ts is not None:
             radiance = tile_unpack(radiance, spp, rows, width, *ts)
         if spp > 1:
@@ -96,7 +104,13 @@ def _get_launch(mesh: Mesh, band_rows: int, width: int, height: int,
         # merge the spp axis over ICI (the accumulation-buffer reduction)
         radiance = jax.lax.pmean(radiance, "spp")
         img = jnp.concatenate([radiance, jnp.ones((n_local, 1), jnp.float32)], -1)
-        return img.reshape(rows, width, 4)
+        img = img.reshape(rows, width, 4)
+        if stats:
+            # whole-mesh ray counters: sum the per-shard counts over BOTH
+            # axes (each shard traced its own rays; the result replicates)
+            rays = jax.lax.psum(jax.lax.psum(rays, "spp"), "tile")
+            return img, rays
+        return img
 
     jitted = jax.jit(launch)
     _LAUNCH_CACHE[key] = (jitted, n_spp * spp)
@@ -155,6 +169,51 @@ def render_sample_sharded(
         row += band_rows
     out = bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=0)
     return out, delivered
+
+
+def render_sample_stats_sharded(
+    scene: DeviceScene,
+    bvh: LBVH,
+    camera: Camera,
+    sample_index,
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    cfg: RenderConfig,
+    has_alpha: bool,
+    chunk_rows: int = 0,
+    tex_flags=(True, True, True, True),
+):
+    """render_sample_sharded + whole-mesh traced-ray counts: returns
+    ((H, W, 4) radiance, spp_delivered, RayStats). The per-shard counters
+    psum over both mesh axes, so RayStats covers every ray the MESH traced
+    this launch — Mrays/s for the sharded path divides by the same wall
+    clock as the single-chip bench (tpurt.integrator.wavefront.RayStats
+    for the logical/physical distinction)."""
+    from tpurt.integrator.wavefront import RayStats
+
+    n_tile = mesh.shape["tile"]
+    assert height % n_tile == 0, (
+        f"height {height} must divide over {n_tile} tiles")
+    launch_index = jnp.asarray(sample_index, jnp.uint32)
+    bands, rays_parts, delivered = [], [], 0
+    row = 0
+    for band_rows in _band_sizes(height, n_tile, chunk_rows):
+        launch, delivered = _get_launch(mesh, band_rows, width, height, cfg,
+                                        has_alpha, tuple(tex_flags),
+                                        stats=True)
+        band, rays = launch(scene, bvh, camera, launch_index,
+                            jnp.uint32(row))
+        bands.append(band)
+        rays_parts.append(rays)
+        row += band_rows
+    out = bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=0)
+    total = np.zeros(2, np.float64)
+    for r in rays_parts:  # host f64 accumulation, exact at frame scale
+        total += np.asarray(r, np.float64)
+    return out, delivered, RayStats(logical=float(total[0]),
+                                    physical=float(total[1]))
 
 
 class ShardedRenderer:
