@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--group", type=int, default=0,
                     help="rebuild the triangle BVH at this leaf group "
                          "size (0 = renderer default)")
+    ap.add_argument("--descend", action="store_true",
+                    help="descend-direct step: node steps jump straight "
+                         "into the nearest hit child (no push+pop round "
+                         "trip through SMEM for descent chains)")
     ap.add_argument("--near", type=float, default=0.0,
                     help="also time a two-pass distance-bounded closest "
                          "trace with r0 = NEAR * scene_diag (e.g. 0.1)")
@@ -147,6 +151,11 @@ def main():
         assert not args.dual, "--pair and --dual do not compose"
         dual_kw["pair"] = True
         print("paired-packet layout enabled (gate forced off)")
+    if args.descend:
+        assert not (args.dual or args.pair), \
+            "--descend composes with the plain/gated step only"
+        dual_kw["descend"] = True
+        print("descend-direct step enabled")
     plain_gate = args.dual or args.pair  # variants use the predicated step
 
     def closest(o, d, gate=False):

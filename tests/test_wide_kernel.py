@@ -414,3 +414,62 @@ def test_no_tmin_and_gate_variants_bit_exact():
                                                interpret=True, **kw)
         np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
         np.testing.assert_array_equal(np.asarray(th0), np.asarray(th1))
+
+
+def test_wide_kernel_descend_parity():
+    """The descend-direct step (entry rides the carry; node steps jump
+    straight into the nearest hit child instead of push-then-pop) must be
+    bit-identical to the classic step for everything the integrator
+    consumes: closest-hit (t, prim, u, v) everywhere, occlusion `blocked`
+    everywhere, occlusion prim/t on non-blocked lanes. Both the gated and
+    predicated step structures are covered."""
+    tris = _random_tris(300, seed=51)
+    tb = build_triangle_bvh(tris, group_size=4)
+    kb = make_wide_kernel_bvh(tb, tris)
+    o, d = _random_rays(1024, seed=52)
+    act = jnp.asarray(np.arange(1024) % 3 != 0)
+    for gate in (False, True):
+        t0, p0, u0, v0 = traverse_packets(kb, o, d, jnp.zeros(1024), 1e9,
+                                          act, interpret=True, gate=gate,
+                                          descend=False)
+        t1, p1, u1, v1 = traverse_packets(kb, o, d, jnp.zeros(1024), 1e9,
+                                          act, interpret=True, gate=gate,
+                                          descend=True)
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+    r = np.random.RandomState(53)
+    tl = jnp.asarray(0.3 + 4.0 * r.rand(1024), jnp.float32)
+    for gate in (False, True):
+        b0, t0, p0, _, _ = occlusion_packets(kb, o, d, jnp.zeros(1024), tl,
+                                             act, scene_has_alpha=False,
+                                             interpret=True, gate=gate,
+                                             descend=False)
+        b1, t1, p1, _, _ = occlusion_packets(kb, o, d, jnp.zeros(1024), tl,
+                                             act, scene_has_alpha=False,
+                                             interpret=True, gate=gate,
+                                             descend=True)
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+        nb = ~np.asarray(b0)
+        np.testing.assert_array_equal(np.asarray(p0)[nb], np.asarray(p1)[nb])
+        np.testing.assert_array_equal(np.asarray(t0)[nb], np.asarray(t1)[nb])
+
+
+def test_wide_kernel_descend_no_tmin_parity():
+    """descend composes with the static no_tmin variant (the wave-level
+    trace configuration the integrator actually dispatches)."""
+    tris = _random_tris(200, seed=54)
+    tb = build_triangle_bvh(tris, group_size=4)
+    kb = make_wide_kernel_bvh(tb, tris)
+    o, d = _random_rays(512, seed=55)
+    act = jnp.ones(512, bool)
+    t0, p0, *_ = traverse_packets(kb, o, d, jnp.zeros(512), 1e9, act,
+                                  interpret=True, gate=True,
+                                  no_tmin=True, descend=False)
+    t1, p1, *_ = traverse_packets(kb, o, d, jnp.zeros(512), 1e9, act,
+                                  interpret=True, gate=True,
+                                  no_tmin=True, descend=True)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))

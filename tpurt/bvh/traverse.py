@@ -52,6 +52,12 @@ WIDE_PAIR_CLOSEST = False
 WIDE_DUAL_CLOSEST = False
 WIDE_PAIR_OCCLUSION = False
 WIDE_DUAL_OCCLUSION = False
+# descend-direct step (pallas_wide.step_descend): node steps jump straight
+# into the nearest hit child instead of pushing it and popping it back —
+# zero SMEM stack traffic on single-hit descent chains. Bit-exact; composes
+# with both the gated and predicated step structures (not dual/pair).
+WIDE_DESCEND_CLOSEST = True
+WIDE_DESCEND_OCCLUSION = True
 
 
 @partial(jax.jit, static_argnames=("include_spheres",))
@@ -219,6 +225,8 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
             pallas_wide.traverse_packets,
             gate=incoherent and not WIDE_PAIR_CLOSEST,
             pair=WIDE_PAIR_CLOSEST, dual=WIDE_DUAL_CLOSEST,
+            descend=WIDE_DESCEND_CLOSEST
+            and not (WIDE_PAIR_CLOSEST or WIDE_DUAL_CLOSEST),
             no_tmin=no_tmin)
     elif not isinstance(bvh, KernelBVH):
         return intersect_scene(bvh, tri_pos, lights, o, d, t_min, t_max,
@@ -343,6 +351,9 @@ def occlusion_hit(kbvh, o, d, t_min, t_limit, active, scene_has_alpha: bool,
                                     dual=WIDE_DUAL_OCCLUSION,
                                     gate=gate and not WIDE_PAIR_OCCLUSION
                                     and not WIDE_DUAL_OCCLUSION,
+                                    descend=WIDE_DESCEND_OCCLUSION
+                                    and not (WIDE_PAIR_OCCLUSION
+                                             or WIDE_DUAL_OCCLUSION),
                                     no_tmin=no_tmin)
 
     n = o.shape[0]

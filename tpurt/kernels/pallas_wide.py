@@ -467,7 +467,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                  occlusion: bool, all_definite: bool, resident: bool,
                  gate: bool, unroll: int, dual: bool = False,
                  pair: bool = False, arity: int = ARITY,
-                 no_tmin: bool = False):
+                 no_tmin: bool = False, descend: bool = False):
     """Stack-based 8-ary packet traversal (closest-hit or occlusion).
 
     Stack entries: wide node id (>= 0) or -(leaf id + 1). Slot hits of a
@@ -642,6 +642,93 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                                                is_node, side)
         return node_push(sp, mask_scalar, kinds, links, side)
 
+    def node_descend(sp, mask_scalar, kinds, links, side):
+        """Descend-direct epilogue of a node step: jump STRAIGHT into the
+        nearest hit slot (slots are pre-sorted near-to-far per octant, so
+        the nearest hit is the lowest effective bit) and push only the
+        REMAINING hit slots. The classic push-then-pop costs one ~100 ns
+        dependent SMEM store plus a pop per node step even for pure
+        descent chains (one hit slot — the incoherent common case); here
+        those chains do ZERO stack traffic. Returns the next carry
+        (sp, entry, has): entry is the descended child, or the popped
+        stack top when nothing hit (has=0 when the stack is empty too,
+        which is the loop-exit condition)."""
+        stk = side[11]
+        hits = [(jnp.right_shift(mask_scalar, s) & 1 > 0) & (kinds[s] > 0)
+                for s in range(arity)]
+        entries = [jnp.where(kinds[s] == 2, -(links[s] + 1), links[s])
+                   for s in range(arity)]
+        nearest = jnp.where(hits[0], entries[0], jnp.int32(0))
+        found = hits[0]
+        push_flags = [None] * arity
+        for s in range(1, arity):
+            push_flags[s] = hits[s] & found  # hit, but not the first hit
+            nearest = jnp.where(hits[s] & jnp.logical_not(found),
+                                entries[s], nearest)
+            found = found | hits[s]
+        rest = jnp.int32(0)
+        for s in range(1, arity):
+            rest = rest + push_flags[s].astype(jnp.int32)
+        sp_out = sp + rest
+
+        @pl.when(rest > 0)
+        def _(sp=sp):
+            # far-first so nearer remainders pop sooner; skipped entries
+            # sit above the local cursor and are overwritten (node_push's
+            # unconditional-store trick)
+            for s in range(arity - 1, 0, -1):
+                stk[sp] = entries[s]
+                sp = sp + push_flags[s].astype(jnp.int32)
+
+        alive = sp_out > 0
+        pop_sp = sp_out - alive.astype(jnp.int32)
+        pop_e = stk[jnp.maximum(pop_sp, 0)]
+        e_next = jnp.where(found, nearest, pop_e)
+        sp_next = jnp.where(found, sp_out, pop_sp)
+        has_next = jnp.where(found, jnp.int32(1), alive.astype(jnp.int32))
+        return sp_next, e_next, has_next
+
+    def pop_next(sp, side):
+        """Stack pop for steps that cannot descend (leaf / dead)."""
+        stk = side[11]
+        alive = sp > 0
+        sp2 = sp - alive.astype(jnp.int32)
+        return sp2, stk[jnp.maximum(sp2, 0)], alive.astype(jnp.int32)
+
+    def step_descend(carry):
+        """Entry-carrying step (descend=True): the current entry rides
+        the while carry instead of round-tripping through the SMEM stack.
+        Node steps descend directly into their nearest hit child
+        (node_descend); leaf and no-hit steps pop. Visits the exact same
+        node sequence as the push-then-pop step (the nearest child was
+        the next pop anyway) — bit-exact, just cheaper."""
+        sp, entry, has, t_best, prim, blocked = carry
+        is_node = (has > 0) & (entry >= 0)
+        act = has > 0
+        if occlusion:
+            act = act & (blocked == 0.0)
+
+        if gate:
+            def do_node(sp, t_best, prim, blocked):
+                m, k, l = node_tests(entry, act, t_best, None, side0)
+                sp2, e2, h2 = node_descend(sp, m, k, l, side0)
+                return sp2, e2, h2, t_best, prim, blocked
+
+            def do_leaf(sp, t_best, prim, blocked):
+                t2, p2, b2 = leaf_path(entry, act, t_best, prim, blocked,
+                                       None, side0)
+                sp2, e2, h2 = pop_next(sp, side0)
+                return sp2, e2, h2, t2, p2, b2
+
+            return jax.lax.cond(is_node, do_node, do_leaf,
+                                sp, t_best, prim, blocked)
+
+        m, k, l = node_tests(entry, act, t_best, is_node, side0)
+        sp2, e2, h2 = node_descend(sp, m, k, l, side0)
+        t_best, prim, blocked = leaf_path(entry, act, t_best, prim,
+                                          blocked, is_node, side0)
+        return sp2, e2, h2, t_best, prim, blocked
+
     def leaf_path(entry, active, t_best, prim, blocked, is_node, side):
         """G triangle tests (is_node semantics as in node_path)."""
         (oct_s, ox, oy, oz, dx, dy, dz, t_min,
@@ -761,11 +848,16 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
     if pair:
         assert not gate and not dual, "pair composes with the plain step"
         assert resident, "pair needs the whole node table resident"
+    if descend:
+        assert not dual and not pair, \
+            "descend-direct composes with the plain/gated step only"
 
     def body(carry):
         for _ in range(unroll):
             if pair:
                 carry = step_pair(carry)
+            elif descend:
+                carry = step_descend(carry)
             else:
                 carry = step_dual(carry) if dual else step(carry)
         return carry
@@ -778,6 +870,10 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         return live
 
     def cond(carry):
+        if descend:
+            # has > 0 covers both "entry in hand" and "stack non-empty"
+            # (has only drops to 0 on a pop of an empty stack)
+            return side_live(carry[2], carry[3], carry[5])
         live = side_live(carry[0], carry[1], carry[3])
         if pair:
             live = live | side_live(carry[4], carry[5], carry[7])
@@ -785,12 +881,15 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
     def side_init(i):
         sl = slice(None) if i is None else slice(i * _SUB, (i + 1) * _SUB)
-        return (
-            jnp.int32(1),
+        common = (
             tlim_ref[sl, :],
             jnp.full((_SUB, _LANE), -1, jnp.int32),
             jnp.zeros((_SUB, _LANE), jnp.float32),
         )
+        if descend:
+            # entry = wide root in hand, stack empty
+            return (jnp.int32(0), jnp.int32(0), jnp.int32(1)) + common
+        return (jnp.int32(1),) + common
 
     if pair:
         side0 = make_side(0)
@@ -804,8 +903,8 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         blk_ref[_SUB:2 * _SUB, :] = out[7]
     else:
         side0 = make_side(None)
-        _, t_best, prim, blocked = jax.lax.while_loop(cond, body,
-                                                      side_init(None))
+        out = jax.lax.while_loop(cond, body, side_init(None))
+        t_best, prim, blocked = out[-3], out[-2], out[-1]
         t_ref[:] = t_best
         prim_ref[:] = prim
         blk_ref[:] = blocked
@@ -813,11 +912,12 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "group", "occlusion", "all_definite", "gate", "unroll", "dual",
-    "pair", "arity", "no_tmin", "interpret"))
+    "pair", "arity", "no_tmin", "descend", "interpret"))
 def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                   tmin, tlim, *, group, occlusion, all_definite,
                   gate=False, unroll=_UNROLL, dual=False, pair=False,
-                  arity=ARITY, no_tmin=False, interpret=False):
+                  arity=ARITY, no_tmin=False, descend=False,
+                  interpret=False):
     n_packets = ox.shape[0] // _SUB
     w = node_rows.shape[1]
     sub = 2 * _SUB if pair else _SUB
@@ -866,7 +966,7 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                                occlusion=occlusion, all_definite=all_definite,
                                resident=resident, gate=gate, unroll=unroll,
                                dual=dual, pair=pair, arity=arity,
-                               no_tmin=no_tmin)
+                               no_tmin=no_tmin, descend=descend)
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.int32),
@@ -941,7 +1041,7 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
                      interpret: bool = False, gate: bool = False,
                      need_uv: bool = True, unroll: int = _UNROLL,
                      dual: bool = False, pair: bool = False,
-                     no_tmin: bool = False):
+                     no_tmin: bool = False, descend: bool = False):
     """Closest-hit via the wide kernel (same contract as
     pallas_traverse.traverse_packets). `gate=True` selects the
     cond-gated step structure — 1.43x faster for sorted incoherent
@@ -958,7 +1058,8 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
         octants, kbvh.node_rows, kbvh.tri_rows, *rays,
         group=tribvh.group_size, occlusion=False, all_definite=False,
         gate=gate, unroll=unroll, dual=dual, pair=pair,
-        arity=kbvh.arity, no_tmin=no_tmin, interpret=interpret)
+        arity=kbvh.arity, no_tmin=no_tmin, descend=descend,
+        interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
     if need_uv:
@@ -972,7 +1073,8 @@ def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
                       scene_has_alpha: bool, interpret: bool = False,
                       need_uv: bool = True, unroll: int = _UNROLL,
                       dual: bool = False, pair: bool = False,
-                      gate: bool = False, no_tmin: bool = False):
+                      gate: bool = False, no_tmin: bool = False,
+                      descend: bool = False):
     """Occlusion query via the wide kernel (same contract as
     pallas_traverse.occlusion_packets). need_uv as in traverse_packets;
     `gate` as in the closest wrapper (cond-gated step — measure per ray
@@ -985,7 +1087,7 @@ def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
         group=tribvh.group_size, occlusion=True,
         all_definite=not scene_has_alpha, unroll=unroll, dual=dual,
         pair=pair, arity=kbvh.arity, gate=gate, no_tmin=no_tmin,
-        interpret=interpret)
+        descend=descend, interpret=interpret)
     blocked = blocked.reshape(-1)[:n] > 0.0
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)

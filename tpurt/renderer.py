@@ -207,6 +207,10 @@ class Renderer:
             return self.accum
         if self._wall_start is None:
             self._wall_start = time.perf_counter()
+        # local snapshot: a concurrent reset() (viewer camera move) may
+        # null _wall_start mid-step; the stale timing then just gets
+        # overwritten by the post-reset step
+        wall_start = self._wall_start
         spp = cfg.spp_per_launch
         launch_index = self.sample_count // spp
         radiance = render_sample(
@@ -230,7 +234,7 @@ class Renderer:
         self._accum_history.append((self.sample_count, self.accum))
         if len(self._accum_history) > 6:
             del self._accum_history[0]
-        self.sample_time = self._time_base + time.perf_counter() - self._wall_start
+        self.sample_time = self._time_base + time.perf_counter() - wall_start
         if self.sample_count >= cfg.max_samples:
             self._finish()
         return self.accum
