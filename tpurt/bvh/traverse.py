@@ -56,8 +56,12 @@ WIDE_DUAL_OCCLUSION = False
 # into the nearest hit child instead of pushing it and popping it back —
 # zero SMEM stack traffic on single-hit descent chains. Bit-exact; composes
 # with both the gated and predicated step structures (not dual/pair).
-WIDE_DESCEND_CLOSEST = True
-WIDE_DESCEND_OCCLUSION = True
+# MEASURED OFF (v5e, 215k tris, 491k rays): coherent 44.4 -> 54.4 ms,
+# incoherent 129.6 -> 136.6, occlusion 38.0 -> 72.0 — the arity-long
+# serial nearest-slot select chain costs more than the push+pop it saves
+# (docs/PERFORMANCE.md round 3).
+WIDE_DESCEND_CLOSEST = False
+WIDE_DESCEND_OCCLUSION = False
 
 
 @partial(jax.jit, static_argnames=("include_spheres",))
