@@ -94,15 +94,44 @@ def main():
         r = Renderer.from_gltf(path, config=cfg, camera=cam, lights=lights)
         jax.block_until_ready(r.bvh)
 
+    from tpurt.renderer import _is_launch_failure
+
+    chunk_state = {"rows": cfg.chunk_rows}
+
     def one(idx, phase):
-        with timer.phase(phase):
-            img, rays = render_sample_stats(
-                r.device_scene, r.bvh, r.camera, jnp.uint32(idx),
-                width=cfg.width, height=cfg.height, cfg=cfg,
-                has_alpha=r.has_alpha, chunk_rows=cfg.chunk_rows,
-            )
-            img.block_until_ready()
-        return rays
+        # launch-failure resilience (mirrors Renderer.step): a tunneled
+        # backend can kill or OOM a launch transiently; retry, halving the
+        # row band, so the driver's bench run always records a number
+        for attempt in range(6):
+            try:
+                # time into a scratch phase; fold into the real phase only
+                # on success so failed attempts don't inflate the Mrays/s
+                # denominator (their rays never enter the numerator)
+                with timer.phase("_attempt"):
+                    img, rays = render_sample_stats(
+                        r.device_scene, r.bvh, r.camera, jnp.uint32(idx),
+                        width=cfg.width, height=cfg.height, cfg=cfg,
+                        has_alpha=r.has_alpha, chunk_rows=chunk_state["rows"],
+                    )
+                    img.block_until_ready()
+                att = timer.stats.pop("_attempt")
+                st = timer.stats.setdefault(phase, type(att)())
+                st.calls += 1
+                st.seconds += att.seconds
+                return rays
+            except Exception as e:  # noqa: BLE001 — filtered below
+                timer.stats.pop("_attempt", None)  # discard failed timing
+                if not _is_launch_failure(e) or attempt == 5:
+                    raise
+                import time
+
+                prev = chunk_state["rows"] or cfg.height
+                if attempt > 0:  # first retry: same size (transient hiccup)
+                    chunk_state["rows"] = max(prev // 2, 32)
+                print(f"[bench] launch failed ({type(e).__name__}: "
+                      f"{str(e)[:120]}); retry {attempt + 1} with "
+                      f"chunk_rows={chunk_state['rows']}", file=sys.stderr)
+                time.sleep(15.0)
 
     one(0, "compile_warmup")
 

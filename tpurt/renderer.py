@@ -41,7 +41,11 @@ def _is_launch_failure(err: Exception) -> bool:
     msg = str(err).lower()
     needles = ("deadline", "timed out", "timeout", "cancelled", "canceled",
                "killed", "preempt", "unavailable", "aborted",
-               "connection reset", "socket closed")
+               "connection reset", "socket closed",
+               # HBM exhaustion on a shared/tunneled device is frequently
+               # transient (another tenant's buffers) and a halved band
+               # shrinks our own footprint either way — retryable
+               "resource_exhausted", "resource exhausted", "out of memory")
     return any(n in msg for n in needles)
 
 
