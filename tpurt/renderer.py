@@ -45,7 +45,11 @@ def _is_launch_failure(err: Exception) -> bool:
                # HBM exhaustion on a shared/tunneled device is frequently
                # transient (another tenant's buffers) and a halved band
                # shrinks our own footprint either way — retryable
-               "resource_exhausted", "resource exhausted", "out of memory")
+               "resource_exhausted", "resource exhausted", "out of memory",
+               # tunnel transport drops mid-remote-compile surface as
+               # INTERNAL with an http fragment in the message
+               "response body closed", "read body", "remote_compile",
+               "connection closed", "broken pipe")
     return any(n in msg for n in needles)
 
 
