@@ -1,23 +1,97 @@
 """Benchmark harness: Mrays/sec on the Sponza-scale interior config.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline target: >100 Mrays/sec/chip on Sponza 1080p @ TPU v5e
-(BASELINE.json / BASELINE.md). vs_baseline = value / 100.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"}; the LAST
+line is the headline result. Baseline target: >100 Mrays/sec/chip on
+Sponza 1080p @ TPU v5e (BASELINE.json / BASELINE.md); vs_baseline =
+value / 100.
 
-On the TPU the full 1080p wavefront runs as-is; on CPU (local smoke runs)
-the resolution is scaled down so the harness stays fast — the JSON line is
-tagged with the actual config used.
+Budget-proofing (the round-3 bench recorded NOTHING because the driver's
+wall clock expired during cold compile — BENCH_r03.json rc=124): this
+harness can no longer finish with zero data. Parity anchor: the
+reference's one built-in metric prints unconditionally when reached
+(/root/reference/src/Raytracer.cpp:247-253); ours must be at least as
+unkillable.
+
+- A watchdog thread holds a best-so-far JSON record from the moment the
+  process starts and prints it + exits 0 when the internal deadline
+  (BENCH_DEADLINE_S, default 900 s) expires — even if the main thread is
+  stuck inside an uninterruptible C call (hung tunnel launch).
+- The frame renders in 5 IDENTICAL 216-row bands (216 divides 1080; a
+  216x1920 band tiles as 8x128 packets), so there is exactly ONE XLA
+  compile — the round-3 killer was a second cold compile for the 56-row
+  remainder band of the old 256-row chunking.
+- A provisional JSON line prints as soon as the FIRST timed band
+  completes; every later band/sample updates it; the final line
+  supersedes it (the driver parses the last JSON line).
+- The TPU probe gets 120 s, not 600.
 """
 
 import json
 import os
 import subprocess
 import sys
+import threading
+import time
 
 import numpy as np
 
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "900"))
+_T0 = time.perf_counter()
 
-def _probe_tpu(timeout_s: float = 600.0) -> bool:
+# band rows: must divide 1080 and tile into packet rectangles
+# (wavefront.tile_shape: 216 rows x 1920 -> 8x128 tiles). ONE shape for
+# all 5 bands = one compile.
+BAND_ROWS = int(os.environ.get("BENCH_BAND_ROWS", "216"))
+
+
+class _Best:
+    """Best-so-far JSON record shared with the watchdog. Starts with a
+    sentinel zero-value record so a deadline before the first timed band
+    still emits a parseable line."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.record = {
+            "metric": "sponza_like_1920x1080_mrays_per_sec",
+            "value": 0.0,
+            "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "note": "deadline hit before the first timed unit completed",
+        }
+        self.printed_provisional = False
+
+    def update(self, record):
+        with self.lock:
+            self.record = record
+
+    def emit(self, final=False):
+        with self.lock:
+            rec = dict(self.record)
+            if not final:
+                rec.setdefault("provisional", True)
+            else:
+                rec.pop("provisional", None)
+            print(json.dumps(rec), flush=True)
+
+
+BEST = _Best()
+
+
+def _watchdog():
+    remaining = DEADLINE_S - (time.perf_counter() - _T0)
+    if remaining > 0:
+        time.sleep(remaining)
+    print(f"[bench] internal deadline {DEADLINE_S:.0f}s hit; emitting "
+          "best-so-far result", file=sys.stderr, flush=True)
+    BEST.emit(final=True)
+    os._exit(0)  # the main thread may be stuck in an uninterruptible call
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.perf_counter() - _T0)
+
+
+def _probe_tpu(timeout_s: float = 120.0) -> bool:
     """True when the TPU backend initializes AND computes within timeout.
 
     Runs in a SUBPROCESS: a dead tunnel hangs PJRT client creation
@@ -39,7 +113,9 @@ def _probe_tpu(timeout_s: float = 600.0) -> bool:
 
 
 def main():
-    on_tpu = _probe_tpu()
+    threading.Thread(target=_watchdog, daemon=True).start()
+    on_tpu = (False if os.environ.get("BENCH_FORCE_CPU") == "1"
+              else _probe_tpu())
     if not on_tpu:
         # force CPU BEFORE the first backend touch (the axon plugin
         # otherwise force-selects the tunneled TPU and hangs again)
@@ -57,111 +133,129 @@ def main():
 
     from tpurt.camera import Camera
     from tpurt.config import RenderConfig, SphereLight
-    from tpurt.integrator.wavefront import render_sample_stats
-    from tpurt.renderer import Renderer
+    from tpurt.integrator.wavefront import render_rows_stats
+    from tpurt.renderer import Renderer, _is_launch_failure
     from tpurt.scene.procedural import write_sponza_like_scene
 
     if on_tpu:
-        # one timed sample: the 1080p wavefront takes ~30-60s/sample at the
-        # current kernel and the remote tunnel kills launches beyond ~60s,
-        # so the harness stays well inside the driver's budget. Scene at the
-        # real Sponza's ~260k-triangle scale (BASELINE.json); 270-row bands
-        # keep each launch inside the tunnel's wall limit.
-        width, height, samples = 1920, 1080, 1
-        # 256-row bands tile into 32x32 packet frusta (wavefront.tile_shape;
-        # 270 rows have no power-of-two tiling and fall back to strips)
-        chunk_rows = 256
-        scene_kw = dict(columns=12, foliage=96, stacks=8, segments=28, rings=20)
+        # scene at the real Sponza's ~260k-triangle scale (BASELINE.json);
+        # identical 216-row bands stay inside the tunnel's per-launch wall
+        # limit AND compile exactly once
+        width, height = 1920, 1080
+        samples = int(os.environ.get("BENCH_SAMPLES", "2"))
+        band_rows = BAND_ROWS
+        scene_kw = dict(columns=12, foliage=96, stacks=8, segments=28,
+                        rings=20)
+        metric = f"sponza_like_{width}x{height}_mrays_per_sec"
     else:
-        width, height, samples = 320, 240, 2
-        chunk_rows = 0
+        width, height = 320, 240
+        samples = 2
+        band_rows = 120
         scene_kw = dict(columns=2, foliage=8)
+        metric = f"sponza_like_{width}x{height}_mrays_per_sec_cpu"
 
-    from tpurt.utils.profiling import KernelTimer
-
-    timer = KernelTimer()
+    print(f"[bench] t={time.perf_counter() - _T0:.1f}s probe done "
+          f"(tpu={on_tpu}); building scene", file=sys.stderr, flush=True)
 
     cfg = RenderConfig(width=width, height=height, max_samples=1024,
-                       chunk_rows=chunk_rows)
-    with timer.phase("scene_load_bvh_build"):
-        path = write_sponza_like_scene("/tmp/bench_sponza.gltf", **scene_kw)
-        cam = Camera.from_angles([0.0, -4.0, 0.0], 0.7, -0.1)
-        lights = [
-            SphereLight((-8.0, -5.0, -2.0), 0.1, (0.8, 0.6, 0.6), 500.0),
-            SphereLight((8.0, -5.0, -2.5), 0.1, (0.4, 0.7, 0.6), 500.0),
-            SphereLight((0.0, -7.5, 0.0), 0.5, (0.9, 0.9, 0.7), 1000.0),
-        ]
-        r = Renderer.from_gltf(path, config=cfg, camera=cam, lights=lights)
-        jax.block_until_ready(r.bvh)
+                       chunk_rows=band_rows)
+    path = write_sponza_like_scene("/tmp/bench_sponza.gltf", **scene_kw)
+    cam = Camera.from_angles([0.0, -4.0, 0.0], 0.7, -0.1)
+    lights = [
+        SphereLight((-8.0, -5.0, -2.0), 0.1, (0.8, 0.6, 0.6), 500.0),
+        SphereLight((8.0, -5.0, -2.5), 0.1, (0.4, 0.7, 0.6), 500.0),
+        SphereLight((0.0, -7.5, 0.0), 0.5, (0.9, 0.9, 0.7), 1000.0),
+    ]
+    r = Renderer.from_gltf(path, config=cfg, camera=cam, lights=lights)
+    jax.block_until_ready(r.bvh)
+    print(f"[bench] t={time.perf_counter() - _T0:.1f}s scene+BVH ready; "
+          "compiling/warming one band", file=sys.stderr, flush=True)
 
-    from tpurt.renderer import _is_launch_failure
+    n_bands = -(-height // band_rows)
 
-    chunk_state = {"rows": cfg.chunk_rows}
-
-    def one(idx, phase):
-        # launch-failure resilience (mirrors Renderer.step): a tunneled
-        # backend can kill or OOM a launch transiently; retry, halving the
-        # row band, so the driver's bench run always records a number
-        for attempt in range(6):
+    def run_band(sample_idx: int, row: int, rows: int):
+        """One band launch with transient-launch-failure retries (the
+        tunnel can kill/OOM a launch; the bench must survive)."""
+        for attempt in range(4):
             try:
-                # time into a scratch phase; fold into the real phase only
-                # on success so failed attempts don't inflate the Mrays/s
-                # denominator (their rays never enter the numerator)
-                with timer.phase("_attempt"):
-                    img, rays = render_sample_stats(
-                        r.device_scene, r.bvh, r.camera, jnp.uint32(idx),
-                        width=cfg.width, height=cfg.height, cfg=cfg,
-                        has_alpha=r.has_alpha, chunk_rows=chunk_state["rows"],
-                    )
-                    img.block_until_ready()
-                att = timer.stats.pop("_attempt")
-                st = timer.stats.setdefault(phase, type(att)())
-                st.calls += 1
-                st.seconds += att.seconds
-                return rays
+                img, rays = render_rows_stats(
+                    r.device_scene, r.bvh, r.camera, jnp.uint32(sample_idx),
+                    row, rows=rows, width=cfg.width, height=cfg.height,
+                    cfg=cfg, has_alpha=r.has_alpha, tex_flags=r.tex_flags)
+                img.block_until_ready()
+                return np.asarray(rays, np.float64)
             except Exception as e:  # noqa: BLE001 — filtered below
-                timer.stats.pop("_attempt", None)  # discard failed timing
-                if not _is_launch_failure(e) or attempt == 5:
+                if not _is_launch_failure(e) or attempt == 3:
                     raise
-                import time
+                print(f"[bench] band launch failed ({type(e).__name__}: "
+                      f"{str(e)[:120]}); retry {attempt + 1}",
+                      file=sys.stderr, flush=True)
+                time.sleep(10.0)
 
-                prev = chunk_state["rows"] or cfg.height
-                if attempt > 0:  # first retry: same size (transient hiccup)
-                    chunk_state["rows"] = max(prev // 2, 32)
-                print(f"[bench] launch failed ({type(e).__name__}: "
-                      f"{str(e)[:120]}); retry {attempt + 1} with "
-                      f"chunk_rows={chunk_state['rows']}", file=sys.stderr)
-                time.sleep(15.0)
+    # ---- warmup: compile + execute the single band shape -----------------
+    run_band(0, 0, min(band_rows, height))
+    print(f"[bench] t={time.perf_counter() - _T0:.1f}s warmup done; timing",
+          file=sys.stderr, flush=True)
 
-    one(0, "compile_warmup")
+    # ---- timed: band-by-band, best-so-far updated after EVERY band -------
+    secs = 0.0
+    physical = 0.0
+    logical = 0.0
+    done_samples = 0
 
-    logical = physical = 0.0
-    for i in range(1, samples + 1):
-        stats = one(i, "render")
-        logical += stats.logical
-        physical += stats.physical
+    def record(note=None):
+        mrays = physical / secs / 1e6 if secs > 0 else 0.0
+        rec = {
+            "metric": metric,
+            "value": round(mrays, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / 100.0, 4),
+            "rays_traced_physical": physical,
+            "rays_logical": logical,
+            "mrays_per_sec_logical": round(logical / secs / 1e6, 3)
+            if secs > 0 else 0.0,
+            "seconds": round(secs, 3),
+            "samples_done": done_samples,
+            "bands_timed": secs_bands[0],
+        }
+        if note:
+            rec["note"] = note
+        return rec
 
-    dt = timer.stats["render"].seconds
-    # headline Mrays/s uses PHYSICAL rays (what this build actually
-    # traced); logical = reference-equivalent traceRayEXT dispatches
-    # (> physical when fold_bsdf_mis merges the MIS probe into the
-    # bounce ray) is reported alongside for work-parity comparisons
-    mrays = timer.mrays_per_sec("render", physical)
-    mrays_logical = timer.mrays_per_sec("render", logical)
-    print(timer.report(), file=sys.stderr)
-    print(f"[bench] {physical / 1e6:.1f} Mrays physical "
-          f"({logical / 1e6:.1f} logical) in {dt:.2f}s over "
-          f"{samples} sample(s)", file=sys.stderr)
-    print(json.dumps({
-        "metric": f"sponza_like_{width}x{height}_mrays_per_sec"
-                  + ("" if on_tpu else "_cpu"),
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 100.0, 4),
-        "rays_traced_physical": physical,
-        "rays_logical": logical,
-        "mrays_per_sec_logical": round(mrays_logical, 3),
-    }))
+    secs_bands = [0]  # bands timed so far (int in a list for closure)
+    for s in range(1, samples + 1):
+        for row in range(0, height, band_rows):
+            rows = min(band_rows, height - row)
+            t0 = time.perf_counter()
+            rays = run_band(s, row, rows)
+            secs += time.perf_counter() - t0
+            physical += float(rays[1])
+            logical += float(rays[0])
+            secs_bands[0] += 1
+            BEST.update(record(note=f"partial: {secs_bands[0]} bands"))
+            if not BEST.printed_provisional:
+                BEST.printed_provisional = True
+                BEST.emit()  # provisional line: a kill now still finds JSON
+            # keep a margin for the final print + interpreter teardown
+            if _remaining() < 20.0:
+                print("[bench] deadline margin reached; stopping early",
+                      file=sys.stderr, flush=True)
+                BEST.emit(final=True)
+                return
+        done_samples = s
+        BEST.update(record())
+        print(f"[bench] t={time.perf_counter() - _T0:.1f}s sample {s} done: "
+              f"{physical / 1e6:.1f} Mrays physical in {secs:.2f}s "
+              f"({physical / secs / 1e6:.3f} Mrays/s)",
+              file=sys.stderr, flush=True)
+        # stop adding samples when less than ~1.3x one sample's cost remains
+        if s < samples and _remaining() < 1.3 * secs / s + 30.0:
+            print("[bench] not enough budget for another sample; stopping",
+                  file=sys.stderr, flush=True)
+            break
+
+    BEST.update(record())
+    BEST.emit(final=True)
 
 
 if __name__ == "__main__":
