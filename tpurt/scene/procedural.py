@@ -353,12 +353,32 @@ def write_lantern_like_scene(path: str) -> str:
     return b.write(path)
 
 
+def quirk_rotation(x, y, z, w):
+    """glTF rotation array that loads as the INTENDED quaternion (x,y,z,w)
+    under the reference's shifted-quaternion read, which this repo's
+    loader replicates (ModelLoader.cpp:521-522 constructs glm::quat(w,x,
+    y,z) but feeds it the glTF (x,y,z,w) array, so element 0 lands in w).
+    Authoring [w,x,y,z] pre-compensates the shift. Scenes targeting the
+    reference renderer must be authored this way or rotated nodes land in
+    unintended poses — round 4's independent-oracle parity test caught
+    write_sponza_like_scene's floor and ceiling collapsing into one
+    coplanar z-fighting plane because its rotations were standard-glTF."""
+    return [w, x, y, z]
+
+
 def write_sponza_like_scene(path: str, columns=6, foliage=24, seed=3,
                             stacks=4, segments=20, rings=14) -> str:
     """Sponza-scale analogue: an interior atrium with many geometries and
     alpha-tested foliage quads (BASELINE.json config 4). Triangle count
     scales with columns * stacks * segments * rings (columns=12, stacks=8,
-    segments=28, rings=20 gives ~260k — the real Sponza's scale)."""
+    segments=28, rings=20 gives ~260k — the real Sponza's scale).
+
+    Rotations are authored via `quirk_rotation` so the loaded poses match
+    the intent: floor plane at y=0, ceiling plane at y=-8 (loaded coords),
+    enclosing the walls' y in [-8, 0] span. Before round 4 the raw
+    rotations collapsed both quads into one coplanar z=0 slab through the
+    shifted-quaternion quirk — a degenerate z-fighting fixture whose
+    closest-hit winner is tie-order-dependent."""
     rng = np.random.RandomState(seed)
     b = GLTFBuilder()
     sp, sn, suv, sidx = _uv_sphere(segments, rings, 0.5)
@@ -389,9 +409,14 @@ def write_sponza_like_scene(path: str, columns=6, foliage=24, seed=3,
     mesh_col = b.add_mesh(sp, sn, suv, sidx, material=column_mat)
     mesh_leaf = b.add_mesh(qp, qn, quv, qidx.astype(np.uint32), material=leaf_mat)
 
-    # floor + ceiling
-    b.add_node(mesh=mesh_floor, rotation=[-0.7071068, 0, 0, 0.7071068], scale=[30, 20, 1])
-    b.add_node(mesh=mesh_floor, rotation=[0.7071068, 0, 0, 0.7071068],
+    # floor + ceiling: intended rot_x(∓90°) — floor quad normal loads as
+    # -y (up: the scene's inhabited span is y in [-8, 0] after the y-flip),
+    # ceiling at translation [0,8,0] loads at y=-8 facing +y
+    b.add_node(mesh=mesh_floor,
+               rotation=quirk_rotation(-0.7071068, 0, 0, 0.7071068),
+               scale=[30, 20, 1])
+    b.add_node(mesh=mesh_floor,
+               rotation=quirk_rotation(0.7071068, 0, 0, 0.7071068),
                translation=[0, 8, 0], scale=[30, 20, 1])
     # walls
     b.add_node(mesh=mesh_wall, translation=[0, 4, -10], scale=[30, 8, 0.5])
@@ -410,7 +435,8 @@ def write_sponza_like_scene(path: str, columns=6, foliage=24, seed=3,
         pos = [float(rng.uniform(-12, 12)), float(rng.uniform(0.5, 5.0)),
                float(rng.uniform(-8, 8))]
         ang = float(rng.uniform(0, np.pi))
-        rot = [0.0, float(np.sin(ang / 2)), 0.0, float(np.cos(ang / 2))]
+        rot = quirk_rotation(0.0, float(np.sin(ang / 2)), 0.0,
+                             float(np.cos(ang / 2)))  # intended rot_y(ang)
         b.add_node(mesh=mesh_leaf, translation=pos, rotation=rot,
                    scale=[1.5, 1.5, 1.5])
     cam = b.add_camera()
