@@ -40,9 +40,6 @@ def main():
     ap.add_argument("--json", default=None)
     ap.add_argument("--rows", type=int, default=256)
     ap.add_argument("--row0", type=int, default=400)
-    ap.add_argument("--kernel", choices=("wide", "swide"), default="wide",
-                    help="swide rebuilds a GROUP=8 tree for the "
-                         "stream-wide kernel (pallas_swide)")
     ap.add_argument("--dual", action="store_true",
                     help="dual-pop predicated step (two stack entries per "
                          "iteration); forces gate=False on the incoherent "
@@ -108,19 +105,6 @@ def main():
         jax.block_until_ready(kbvh.node_rows)
         print(f"rebuilt wide tables at arity {kbvh.arity}, "
               f"G={tribvh.group_size}: W={kbvh.node_rows.shape[1]}")
-    if args.kernel == "swide":
-        from tpurt.bvh.lbvh import build_triangle_bvh
-        from tpurt.kernels import pallas_swide
-        from tpurt.kernels.pallas_swide import make_swide_kernel_bvh
-
-        tribvh8 = build_triangle_bvh(r.device_scene.tri_pos,
-                                     group_size=pallas_swide.GROUP)
-        mask = r.device_scene.tri_alpha_mask if r.has_alpha else None
-        omask = r.device_scene.tri_alpha_opaque if r.has_alpha else None
-        kbvh = make_swide_kernel_bvh(tribvh8, r.device_scene.tri_pos,
-                                     tri_alpha_mask=mask,
-                                     tri_alpha_opaque=omask)
-        pallas_wide = pallas_swide  # same traverse/occlusion contract
     print(f"scene: {r.device_scene.tri_pos.shape[0]} tris, "
           f"kernel={type(kbvh).__name__}")
 
@@ -143,11 +127,9 @@ def main():
     # integrator never pays — measuring kernel-only time needs it off
     dual_kw = {}
     if args.dual:
-        assert args.kernel == "wide", "--dual is a wide-kernel variant"
         dual_kw["dual"] = True
         print("dual-pop step enabled (gate forced off)")
     if args.pair:
-        assert args.kernel == "wide", "--pair is a wide-kernel variant"
         assert not args.dual, "--pair and --dual do not compose"
         dual_kw["pair"] = True
         print("paired-packet layout enabled (gate forced off)")

@@ -13,15 +13,17 @@ This harness renders the alpha-tested sponza-like interior twice with
 the same seed — fold on / fold off — at a converged spp, and reports:
   * rmse_fold_vs_exact: per-pixel RMSE between the two accumulations
     (linear radiance, pre-tonemap), and as % of mean radiance
-  * each run's wall time and Mrays/s (physical rays)
+  * each run's wall time (after a 1-spp compile warmup, device-synced
+    via block_until_ready; the host transfer happens after the timer)
 Results are appended as one JSON line to benchmarks/parity_fold.json.
 
 Usage:
   python benchmarks/parity_fold.py [--res 512x512] [--spp 1024]
       [--scale full|small] [--json benchmarks/parity_fold.json]
 
-`--scale small` is the CPU smoke config (tiny scene, low spp) used by
-tests; `full` is the 215k-triangle interior used by bench.py.
+`--scale small` is a CPU smoke config (tiny scene; pass --spp to lower
+the sample count); `full` is the 215k-triangle interior used by
+bench.py.
 """
 
 from __future__ import annotations
@@ -81,10 +83,16 @@ def main():
                            fold_bsdf_mis=fold, chunk_rows=chunk_rows)
         r = Renderer.from_gltf(path, config=cfg, camera=cam, lights=lights)
         jax.block_until_ready(r.device_scene.tri_pos)
+        # 1-spp warmup so the timed loop excludes JIT compilation; the
+        # host transfer (np.asarray) runs after the timer stops
+        r.render(1)
+        jax.block_until_ready(r.accum)
+        r.reset()
         t0 = time.perf_counter()
         r.render(args.spp, progress_every=max(args.spp // 8, 1))
-        accum = np.asarray(r.accum)
+        jax.block_until_ready(r.accum)
         dt = time.perf_counter() - t0
+        accum = np.asarray(r.accum)
         name = "fold" if fold else "exact"
         images[name] = accum[..., :3]
         results[name] = {"seconds": round(dt, 2), "spp": args.spp}

@@ -151,7 +151,15 @@ def main():
 
     _, t_ch = _timed(p_closest_only, o, d, active)
 
-    # kernel floor: pre-sorted rays, no unsort (need_uv=False)
+    # kernel floor: pre-sorted rays, no unsort (need_uv=False). Step
+    # variant derived from the SAME traverse-module flags closest_hit
+    # dispatches with, so flag flips can't skew the attribution
+    # (ADVICE r3). Wide kernel only: on the XLA-fallback path (CPU /
+    # oversized scene) the floor equals the dispatcher row.
+    from tpurt.bvh import traverse as TR
+    from tpurt.kernels.pallas_wide import WideKernelBVH
+
+    is_wide = isinstance(bvh, WideKernelBVH)
     key = _octant_morton_key(bvh, o, d, active)
     _, cols = _sort_rays(key, (o[:, 0], o[:, 1], o[:, 2],
                                d[:, 0], d[:, 1], d[:, 2], active))
@@ -160,20 +168,31 @@ def main():
     ap = cols[6]
     jax.block_until_ready(op)
 
-    @jax.jit
-    def p_kernel_only(op, dp, ap):
-        return pallas_wide.traverse_packets(bvh, op, dp, zeros, cfg.t_max,
-                                            ap, need_uv=False,
-                                            gate=inc, no_tmin=True)
+    if is_wide:
+        @jax.jit
+        def p_kernel_only(op, dp, ap):
+            return pallas_wide.traverse_packets(
+                bvh, op, dp, zeros, cfg.t_max, ap, need_uv=False,
+                gate=inc and not TR.WIDE_PAIR_CLOSEST,
+                pair=TR.WIDE_PAIR_CLOSEST, dual=TR.WIDE_DUAL_CLOSEST,
+                descend=TR.WIDE_DESCEND_CLOSEST
+                and not (TR.WIDE_PAIR_CLOSEST or TR.WIDE_DUAL_CLOSEST),
+                no_tmin=True)
 
-    _, t_k = _timed(p_kernel_only, op, dp, ap)
+        _, t_k = _timed(p_kernel_only, op, dp, ap)
+    else:
+        t_k = float("nan")
 
     print("\nclosest (incoherent={}):".format(inc))
     print(f"  _trace full (sort+kernel+alpha loop): {t_full*1e3:8.1f} ms")
     print(f"  closest_hit (sort+kernel+unsort):     {t_ch*1e3:8.1f} ms")
-    print(f"  kernel only (pre-sorted, no unsort):  {t_k*1e3:8.1f} ms")
-    print(f"  => alpha-loop machinery: {(t_full-t_ch)*1e3:8.1f} ms; "
-          f"sort+unsort+resolve: {(t_ch-t_k)*1e3:8.1f} ms")
+    if is_wide:
+        print(f"  kernel only (pre-sorted, no unsort):  {t_k*1e3:8.1f} ms")
+        print(f"  => alpha-loop machinery: {(t_full-t_ch)*1e3:8.1f} ms; "
+              f"sort+unsort+resolve: {(t_ch-t_k)*1e3:8.1f} ms")
+    else:
+        print("  kernel only: n/a (XLA fallback path; floor == dispatcher)")
+        print(f"  => alpha-loop machinery: {(t_full-t_ch)*1e3:8.1f} ms")
 
     # ---- shadow decomposition ------------------------------------------
     cls = pick_env.astype(jnp.int32)
@@ -205,20 +224,32 @@ def main():
     tl2, ap2 = cols2[6], cols2[7]
     jax.block_until_ready(op2)
 
-    @jax.jit
-    def p_okernel_only(op, dp, tl, ap):
-        return pallas_wide.occlusion_packets(bvh, op, dp, zeros, tl, ap,
-                                             has_alpha, need_uv=False,
-                                             gate=True, no_tmin=True)
+    if is_wide:
+        @jax.jit
+        def p_okernel_only(op, dp, tl, ap):
+            return pallas_wide.occlusion_packets(
+                bvh, op, dp, zeros, tl, ap, has_alpha, need_uv=False,
+                pair=TR.WIDE_PAIR_OCCLUSION, dual=TR.WIDE_DUAL_OCCLUSION,
+                gate=not TR.WIDE_PAIR_OCCLUSION
+                and not TR.WIDE_DUAL_OCCLUSION,
+                descend=TR.WIDE_DESCEND_OCCLUSION
+                and not (TR.WIDE_PAIR_OCCLUSION or TR.WIDE_DUAL_OCCLUSION),
+                no_tmin=True)
 
-    _, t_ok = _timed(p_okernel_only, op2, dp2, tl2, ap2)
+        _, t_ok = _timed(p_okernel_only, op2, dp2, tl2, ap2)
+    else:
+        t_ok = float("nan")
 
     print("\nshadow (folded, class-split):")
     print(f"  _trace_shadow full:                   {t_sf*1e3:8.1f} ms")
     print(f"  occlusion_hit (sort+kernel+unsort):   {t_oh*1e3:8.1f} ms")
-    print(f"  kernel only (pre-sorted, no unsort):  {t_ok*1e3:8.1f} ms")
-    print(f"  => recheck+payload machinery: {(t_sf-t_oh)*1e3:8.1f} ms; "
-          f"sort+unsort: {(t_oh-t_ok)*1e3:8.1f} ms")
+    if is_wide:
+        print(f"  kernel only (pre-sorted, no unsort):  {t_ok*1e3:8.1f} ms")
+        print(f"  => recheck+payload machinery: {(t_sf-t_oh)*1e3:8.1f} ms; "
+              f"sort+unsort: {(t_oh-t_ok)*1e3:8.1f} ms")
+    else:
+        print("  kernel only: n/a (XLA fallback path; floor == dispatcher)")
+        print(f"  => recheck+payload machinery: {(t_sf-t_oh)*1e3:8.1f} ms")
 
     # ---- pricing --------------------------------------------------------
     @jax.jit

@@ -35,7 +35,7 @@ def validate_scene(name, tri_pos, lights, rays, group_size, mask=None,
         from tpurt.kernels.pallas_wide import (
             make_wide_kernel_bvh as make_kernel_bvh, traverse_packets)
     else:
-        from tpurt.kernels.pallas_traverse import (
+        from tpurt.kernels.experimental.pallas_traverse import (
             make_kernel_bvh, traverse_packets)
 
     tb = build_triangle_bvh(tri_pos, group_size=group_size)

@@ -106,7 +106,7 @@ def test_opaque_mask_conservative(tmp_path):
 
 def test_masked_kernel_skips_transparent(tmp_path):
     from tpurt.bvh import build_triangle_bvh
-    from tpurt.kernels.pallas_traverse import make_kernel_bvh, traverse_packets
+    from tpurt.kernels.experimental.pallas_traverse import make_kernel_bvh, traverse_packets
 
     dev = build_device_scene(load_gltf(_hole_scene(tmp_path)))
     tb = build_triangle_bvh(dev.tri_pos, group_size=4)

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from tpurt.bvh import build_triangle_bvh, intersect_brute_force
-from tpurt.kernels.pallas_traverse import (
+from tpurt.kernels.experimental.pallas_traverse import (
     kernel_supported,
     make_kernel_bvh,
     traverse_packets,
@@ -93,7 +93,7 @@ def test_kernel_supported_budget():
 
 
 def test_occlusion_kernel_matches_oracle_interpret():
-    from tpurt.kernels.pallas_traverse import occlusion_packets
+    from tpurt.kernels.experimental.pallas_traverse import occlusion_packets
 
     tris = _random_tris(300, seed=11)
     tb = build_triangle_bvh(tris, group_size=4)
@@ -116,7 +116,7 @@ def test_occlusion_kernel_alpha_uncertain_hits():
     """With in-leaf masks: hits on alpha-testable triangles (mask bit 16)
     must NOT set blocked, but must be reported as the closest accepted hit
     for the XLA recheck; fully-transparent cells are skipped entirely."""
-    from tpurt.kernels.pallas_traverse import occlusion_packets
+    from tpurt.kernels.experimental.pallas_traverse import occlusion_packets
 
     tris = _random_tris(64, seed=14)
     tb = build_triangle_bvh(tris, group_size=4)
@@ -146,7 +146,7 @@ def test_occlusion_kernel_alpha_uncertain_hits():
 def test_occlusion_kernel_definite_vs_testable_mix():
     """Mixed scene: hits on non-testable triangles block definitively even
     when a closer testable triangle exists in front."""
-    from tpurt.kernels.pallas_traverse import occlusion_packets
+    from tpurt.kernels.experimental.pallas_traverse import occlusion_packets
 
     tris = _random_tris(64, seed=16)
     tb = build_triangle_bvh(tris, group_size=4)

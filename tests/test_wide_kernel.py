@@ -159,8 +159,8 @@ def test_wide_occlusion_opaque_cells_block():
 
 def test_wide_matches_binary_kernel():
     """Wide and binary kernels are drop-in equals on the same TriBVH."""
-    from tpurt.kernels.pallas_traverse import make_kernel_bvh
-    from tpurt.kernels.pallas_traverse import traverse_packets as tp_bin
+    from tpurt.kernels.experimental.pallas_traverse import make_kernel_bvh
+    from tpurt.kernels.experimental.pallas_traverse import traverse_packets as tp_bin
 
     tris = _random_tris(500, seed=21)
     tb = build_triangle_bvh(tris, group_size=6)

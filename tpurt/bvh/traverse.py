@@ -207,8 +207,11 @@ def intersect_scene(
 def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
                 include_spheres=True, active=None, interpret=False,
                 sort_rays=True, incoherent=False, no_tmin=False) -> Hit:
-    """Closest-hit dispatcher: Pallas packet kernel when `bvh` is a
-    KernelBVH (TPU, scene resident in VMEM), batched XLA walk otherwise.
+    """Closest-hit dispatcher: wide Pallas packet kernel when `bvh` is a
+    WideKernelBVH (TPU, scene resident in VMEM), batched XLA walk
+    otherwise. Production touches exactly ONE kernel family
+    (kernels/pallas_wide.py); the binary rope kernel lives in
+    kernels/experimental/ as a cross-check harness only.
 
     The packet kernel descends whenever ANY ray of a 1024-ray packet hits a
     node, so incoherent packets walk near the whole tree. `sort_rays` groups
@@ -218,23 +221,21 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
     its cond-gated step structure (1.43x on such batches, see
     pallas_wide._wide_kernel)."""
     from tpurt.kernels import pallas_wide
-    from tpurt.kernels.pallas_traverse import KernelBVH, traverse_packets
     from tpurt.kernels.pallas_wide import WideKernelBVH
 
-    if isinstance(bvh, WideKernelBVH):
-        # step-variant policy, measured per ray class (kernel_bench):
-        # incoherent secondaries keep the cond-gated step; coherent waves
-        # take the paired-packet layout when measurements favor it
-        traverse_packets = partial(
-            pallas_wide.traverse_packets,
-            gate=incoherent and not WIDE_PAIR_CLOSEST,
-            pair=WIDE_PAIR_CLOSEST, dual=WIDE_DUAL_CLOSEST,
-            descend=WIDE_DESCEND_CLOSEST
-            and not (WIDE_PAIR_CLOSEST or WIDE_DUAL_CLOSEST),
-            no_tmin=no_tmin)
-    elif not isinstance(bvh, KernelBVH):
+    if not isinstance(bvh, WideKernelBVH):
         return intersect_scene(bvh, tri_pos, lights, o, d, t_min, t_max,
                                include_spheres=include_spheres, active=active)
+    # step-variant policy, measured per ray class (kernel_bench):
+    # incoherent secondaries keep the cond-gated step; coherent waves
+    # take the paired-packet layout when measurements favor it
+    traverse_packets = partial(
+        pallas_wide.traverse_packets,
+        gate=incoherent and not WIDE_PAIR_CLOSEST,
+        pair=WIDE_PAIR_CLOSEST, dual=WIDE_DUAL_CLOSEST,
+        descend=WIDE_DESCEND_CLOSEST
+        and not (WIDE_PAIR_CLOSEST or WIDE_DUAL_CLOSEST),
+        no_tmin=no_tmin)
 
     n = o.shape[0]
     if active is None:
@@ -332,11 +333,11 @@ def _sort_rays(key, cols):
 def occlusion_hit(kbvh, o, d, t_min, t_limit, active, scene_has_alpha: bool,
                   sort_rays=True, interpret=False, ray_class=None,
                   gate=True, no_tmin=False):
-    """Occlusion query via the packet kernel (KernelBVH only; the XLA
-    fallback path emulates occlusion with a closest-hit trace in the
-    integrator). Returns (blocked (N,) bool, Hit of the closest accepted
-    hit with t < t_limit — kind TRIANGLE where one exists, for the exact
-    alpha recheck).
+    """Occlusion query via the wide packet kernel (WideKernelBVH only;
+    the XLA fallback path emulates occlusion with a closest-hit trace in
+    the integrator). Returns (blocked (N,) bool, Hit of the closest
+    accepted hit with t < t_limit — kind TRIANGLE where one exists, for
+    the exact alpha recheck).
 
     `gate` selects the wide kernel's cond-gated step: measured 1.72x on
     the REALISTIC folded NEE shadow batch (wave-1 215k interior, 445k
@@ -346,19 +347,16 @@ def occlusion_hit(kbvh, o, d, t_min, t_limit, active, scene_has_alpha: bool,
     occlusion population, whose steps are as leaf-heavy/all-miss as the
     incoherent closest traces (see benchmarks/profile_shadow2.py)."""
     from tpurt.kernels import pallas_wide
-    from tpurt.kernels.pallas_traverse import occlusion_packets
-    from tpurt.kernels.pallas_wide import WideKernelBVH
 
-    if isinstance(kbvh, WideKernelBVH):
-        occlusion_packets = partial(pallas_wide.occlusion_packets,
-                                    pair=WIDE_PAIR_OCCLUSION,
-                                    dual=WIDE_DUAL_OCCLUSION,
-                                    gate=gate and not WIDE_PAIR_OCCLUSION
-                                    and not WIDE_DUAL_OCCLUSION,
-                                    descend=WIDE_DESCEND_OCCLUSION
-                                    and not (WIDE_PAIR_OCCLUSION
-                                             or WIDE_DUAL_OCCLUSION),
-                                    no_tmin=no_tmin)
+    occlusion_packets = partial(pallas_wide.occlusion_packets,
+                                pair=WIDE_PAIR_OCCLUSION,
+                                dual=WIDE_DUAL_OCCLUSION,
+                                gate=gate and not WIDE_PAIR_OCCLUSION
+                                and not WIDE_DUAL_OCCLUSION,
+                                descend=WIDE_DESCEND_OCCLUSION
+                                and not (WIDE_PAIR_OCCLUSION
+                                         or WIDE_DUAL_OCCLUSION),
+                                no_tmin=no_tmin)
 
     n = o.shape[0]
     if active is None:

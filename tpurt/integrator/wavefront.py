@@ -301,7 +301,6 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
     depth++-on-miss quirk, raytrace.rmiss:10)."""
     from tpurt.bvh.traverse import occlusion_hit
     from tpurt.kernels.intersect import intersect_spheres
-    from tpurt.kernels.pallas_traverse import KernelBVH
     from tpurt.kernels.pallas_wide import WideKernelBVH
 
     n = o.shape[0]
@@ -317,7 +316,7 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
         s_id = jnp.zeros(n, jnp.int32)
     t_limit = jnp.where(s_hit, s_t, cfg.t_max)
 
-    if isinstance(bvh, (KernelBVH, WideKernelBVH)):
+    if isinstance(bvh, WideKernelBVH):
         # distance-bounded light rays (retire fast) and escape-prone
         # envmap/BSDF rays sort into SEPARATE packets via the class bit,
         # so early-exit packets actually retire early. Default (fused-2m

@@ -63,7 +63,7 @@ class Renderer:
         bvh=None,
     ):
         """`bvh`: a prebuilt acceleration structure (TriBVH /
-        WideKernelBVH / KernelBVH) to use instead of building one — the
+        WideKernelBVH) to use instead of building one — the
         scene-cache warm path (tpurt/scene/cache.py)."""
         self.config = config
         if isinstance(scene, DeviceScene):
@@ -93,12 +93,10 @@ class Renderer:
         self.bvh = build_triangle_bvh(self.device_scene.tri_pos,
                                       group_size=group_size)
         # on TPU, upgrade to the Pallas packet-traversal structure when the
-        # packed scene fits the VMEM budget: the wide (8-ary) kernel
-        # (kernels/pallas_wide.py) by preference, the binary rope kernel
-        # (kernels/pallas_traverse.py) as fallback
+        # packed scene fits the VMEM budget: the wide kernel
+        # (kernels/pallas_wide.py) — the ONLY production kernel family;
+        # oversized scenes fall back to the batched XLA walk
         if jax.default_backend() not in ("cpu",):
-            from tpurt.kernels.pallas_traverse import (
-                kernel_supported, make_kernel_bvh)
             from tpurt.kernels.pallas_wide import (
                 make_wide_kernel_bvh, wide_supported)
 
@@ -110,9 +108,6 @@ class Renderer:
                 self.bvh = make_wide_kernel_bvh(
                     self.bvh, self.device_scene.tri_pos, tri_alpha_mask=mask,
                     tri_alpha_opaque=omask)
-            elif kernel_supported(self.bvh, self.device_scene.tri_pos):
-                self.bvh = make_kernel_bvh(
-                    self.bvh, self.device_scene.tri_pos, tri_alpha_mask=mask)
         self.reset()
 
     @classmethod
