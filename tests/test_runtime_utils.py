@@ -65,3 +65,25 @@ def test_kernel_timer():
     assert t.stats["work"].calls == 2
     assert "work" in t.report()
     assert t.mrays_per_sec("work", 1e6) > 0
+
+
+def test_render_stats(tmp_path):
+    """profiling.render_stats: one timed + counted sample with real
+    throughput numbers (the machine-readable convergence printf)."""
+    from tpurt.camera import Camera
+    from tpurt.config import RenderConfig, SphereLight
+    from tpurt.renderer import Renderer
+    from tpurt.utils.profiling import render_stats
+
+    cfg = RenderConfig(width=32, height=24, max_samples=4)
+    cam = Camera.from_angles([1.5, 1.2, 2.0],
+                             float(np.arctan2(-1.5, -2.0)), -0.45)
+    r = Renderer.from_gltf(
+        write_box_scene(str(tmp_path / "box.gltf")), config=cfg, camera=cam,
+        lights=[SphereLight((2.0, 2.0, 2.0), 0.3, (1.0, 0.9, 0.8), 50.0)])
+    st = render_stats(r)
+    assert st["seconds"] > 0
+    assert st["rays_physical"] >= 32 * 24  # at least the camera rays
+    assert st["rays_logical"] >= st["rays_physical"]  # folded MIS default
+    assert 0 < st["fold_efficiency"] <= 1.0
+    assert st["mrays_per_sec"] > 0

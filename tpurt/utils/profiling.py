@@ -9,8 +9,9 @@ Raytracer.cpp:251). The TPU-native equivalents:
 - `annotate(name)`: TraceAnnotation for labeling phases inside a trace
   (the object-naming analogue),
 - `KernelTimer`: wall-clock per-phase timers with Mrays/s derivation,
-- `render_stats`: wavefront occupancy statistics from the instrumented
-  integrator (rays traced per wave).
+- `render_stats`: one timed + ray-counted progressive sample through the
+  instrumented integrator (render_sample_stats), returning throughput and
+  the logical/physical ray split as a dict.
 """
 
 from __future__ import annotations
@@ -115,3 +116,38 @@ def enable_compilation_cache(cache_dir: str = None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # pragma: no cover - jax version drift
         pass
+
+
+def render_stats(renderer, sample_index: int = 0) -> Dict[str, float]:
+    """One timed + ray-counted progressive sample on `renderer` (a
+    tpurt.renderer.Renderer): the machine-readable form of the
+    convergence printf (Raytracer.cpp:251) plus the ray accounting the
+    reference never had. Blocks on the device result so `seconds` is
+    real execution time. Returns {seconds, rays_logical, rays_physical,
+    mrays_per_sec, mrays_per_sec_logical, fold_efficiency} where
+    fold_efficiency = physical/logical (< 1 when folded BSDF-MIS serves
+    two logical rays with one trace)."""
+    import jax.numpy as jnp
+
+    from tpurt.integrator.wavefront import render_sample_stats
+
+    cfg = renderer.config
+    t0 = time.perf_counter()
+    img, rays = render_sample_stats(
+        renderer.device_scene, renderer.bvh, renderer.camera,
+        jnp.uint32(sample_index), width=cfg.width, height=cfg.height,
+        cfg=cfg, has_alpha=renderer.has_alpha, tex_flags=renderer.tex_flags,
+        chunk_rows=cfg.chunk_rows)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    import numpy as np
+
+    logical, physical = (float(x) for x in np.asarray(rays, np.float64))
+    return {
+        "seconds": dt,
+        "rays_logical": logical,
+        "rays_physical": physical,
+        "mrays_per_sec": physical / dt / 1e6 if dt > 0 else 0.0,
+        "mrays_per_sec_logical": logical / dt / 1e6 if dt > 0 else 0.0,
+        "fold_efficiency": physical / logical if logical else 0.0,
+    }
