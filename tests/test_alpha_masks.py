@@ -170,3 +170,58 @@ def test_full_render_matches_without_masks(tmp_path):
                     jnp.asarray([int(row[ti, 2])], jnp.int32),
                     jnp.asarray([uu]), jnp.asarray([vv]))[0])
                 assert a < row[ti, 1], (ti, cell, u, v, a)
+
+
+def test_cell_masks_closest_trace_parity(tmp_path):
+    """The in-kernel closest any-hit (WIDE_CELL_MASKS_CLOSEST: decided
+    cells resolved during traversal + pending bit) must produce exactly
+    the hits of the host-side reject/re-trace formulation on an
+    alpha-tested scene with both decided and undecided cells."""
+    import jax
+
+    from tpurt.bvh import lbvh as L, traverse as TR
+    from tpurt.config import RenderConfig
+    from tpurt.integrator.wavefront import _trace
+    from tpurt.kernels.pallas_wide import make_wide_kernel_bvh
+    from tpurt.scene.procedural import write_sponza_like_scene
+
+    path = write_sponza_like_scene(str(tmp_path / "mini.gltf"), columns=1,
+                                   foliage=8, stacks=1, segments=8, rings=6)
+    dev = build_device_scene(load_gltf(path))
+    assert bool(np.asarray(dev.tri_alpha).any())
+    tb = L.build_triangle_bvh(dev.tri_pos, group_size=8)
+    kb = make_wide_kernel_bvh(tb, dev.tri_pos,
+                              tri_alpha_mask=dev.tri_alpha_mask,
+                              tri_alpha_opaque=dev.tri_alpha_opaque)
+    assert kb.tri_rows.shape[1] >= 8 * 11  # masks packed
+
+    n = 512
+    rng = np.random.RandomState(7)
+    # rays from inside the atrium toward random directions (mixture of
+    # foliage crossings, walls, misses)
+    o = jnp.asarray(np.tile([0.0, -4.0, 0.0], (n, 1)).astype(np.float32)
+                    + rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    d = jnp.asarray(dirs)
+    cfg = RenderConfig(width=8, height=8)
+    act = jnp.ones(n, bool)
+    zeros = jnp.zeros(n)
+
+    old = TR.WIDE_CELL_MASKS_CLOSEST
+    try:
+        TR.WIDE_CELL_MASKS_CLOSEST = False
+        h_host = _trace(dev, kb, o, d, zeros, act, False, cfg, True,
+                        sort_rays=False, interpret=True)
+        TR.WIDE_CELL_MASKS_CLOSEST = True
+        h_kern = _trace(dev, kb, o, d, zeros, act, False, cfg, True,
+                        sort_rays=False, interpret=True)
+    finally:
+        TR.WIDE_CELL_MASKS_CLOSEST = old
+
+    np.testing.assert_array_equal(np.asarray(h_host.kind),
+                                  np.asarray(h_kern.kind))
+    np.testing.assert_array_equal(np.asarray(h_host.prim),
+                                  np.asarray(h_kern.prim))
+    np.testing.assert_allclose(np.asarray(h_host.t), np.asarray(h_kern.t),
+                               rtol=1e-6)

@@ -62,6 +62,14 @@ WIDE_DUAL_OCCLUSION = False
 # (docs/PERFORMANCE.md round 3).
 WIDE_DESCEND_CLOSEST = False
 WIDE_DESCEND_OCCLUSION = False
+# in-kernel any-hit for CLOSEST traversal (pallas_wide leaf_path
+# cell_masks): decided-transparent candidates are skipped during
+# traversal itself — each skip replaces a whole host-side re-trace
+# relaunch — and the kernel returns a per-ray PENDING bit (committed hit
+# in an undecided cell) that the host recheck consumes directly instead
+# of gathering the (T,) alpha flags. Off = the round-3 formulation
+# (commit every hit, reject + re-trace on the host).
+WIDE_CELL_MASKS_CLOSEST = True
 
 
 @partial(jax.jit, static_argnames=("include_spheres",))
@@ -206,7 +214,8 @@ def intersect_scene(
 
 def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
                 include_spheres=True, active=None, interpret=False,
-                sort_rays=True, incoherent=False, no_tmin=False) -> Hit:
+                sort_rays=True, incoherent=False, no_tmin=False,
+                return_pending=False):
     """Closest-hit dispatcher: wide Pallas packet kernel when `bvh` is a
     WideKernelBVH (TPU, scene resident in VMEM), batched XLA walk
     otherwise. Production touches exactly ONE kernel family
@@ -219,23 +228,31 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
     collapses the per-packet visit union for secondary/NEE waves.
     `incoherent` marks secondary-bounce batches: the wide kernel then uses
     its cond-gated step structure (1.43x on such batches, see
-    pallas_wide._wide_kernel)."""
+    pallas_wide._wide_kernel).
+
+    `return_pending=True` changes the return to (Hit, pending): with the
+    in-kernel any-hit enabled (WIDE_CELL_MASKS_CLOSEST + a masked kernel
+    BVH), `pending` marks committed triangle hits that still need the
+    host texture tap; everywhere else it is None and the caller must run
+    the full host-side alpha test."""
     from tpurt.kernels import pallas_wide
     from tpurt.kernels.pallas_wide import WideKernelBVH
 
     if not isinstance(bvh, WideKernelBVH):
-        return intersect_scene(bvh, tri_pos, lights, o, d, t_min, t_max,
-                               include_spheres=include_spheres, active=active)
+        hit = intersect_scene(bvh, tri_pos, lights, o, d, t_min, t_max,
+                              include_spheres=include_spheres, active=active)
+        return (hit, None) if return_pending else hit
     # step-variant policy, measured per ray class (kernel_bench):
     # incoherent secondaries keep the cond-gated step; coherent waves
     # take the paired-packet layout when measurements favor it
+    cell_masks = return_pending and WIDE_CELL_MASKS_CLOSEST
     traverse_packets = partial(
         pallas_wide.traverse_packets,
         gate=incoherent and not WIDE_PAIR_CLOSEST,
         pair=WIDE_PAIR_CLOSEST, dual=WIDE_DUAL_CLOSEST,
         descend=WIDE_DESCEND_CLOSEST
         and not (WIDE_PAIR_CLOSEST or WIDE_DUAL_CLOSEST),
-        no_tmin=no_tmin)
+        no_tmin=no_tmin, cell_masks=cell_masks)
 
     n = o.shape[0]
     if active is None:
@@ -251,13 +268,21 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
                       d[:, 0], d[:, 1], d[:, 2], t_min, active))
             op = jnp.stack([o0, o1, o2], axis=1)
             dp = jnp.stack([d0, d1, d2], axis=1)
-        t, prim, u, v = traverse_packets(bvh, op, dp, tp, t_max, ap,
-                                         interpret=interpret)
+        out = traverse_packets(bvh, op, dp, tp, t_max, ap,
+                               interpret=interpret)
+        t, prim, u, v = out[:4]
+        pending = out[4] if cell_masks else None
         with jax.named_scope("rayunsort"):
-            _, (t, prim, u, v) = _sort_rays(orig, (t, prim, u, v))
+            if pending is None:
+                _, (t, prim, u, v) = _sort_rays(orig, (t, prim, u, v))
+            else:
+                _, (t, prim, u, v, pending) = _sort_rays(
+                    orig, (t, prim, u, v, pending))
     else:
-        t, prim, u, v = traverse_packets(bvh, o, d, t_min, t_max, active,
-                                         interpret=interpret)
+        out = traverse_packets(bvh, o, d, t_min, t_max, active,
+                               interpret=interpret)
+        t, prim, u, v = out[:4]
+        pending = out[4] if cell_masks else None
     with jax.named_scope("hitresolve"):
         kind = jnp.where(prim >= 0, KIND_TRIANGLE, KIND_MISS).astype(jnp.int32)
         t = jnp.where(prim >= 0, t, t_max)
@@ -267,7 +292,12 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
             t = jnp.where(s_hit, s_t, t)
             prim = jnp.where(s_hit, s_id, prim)
             kind = jnp.where(s_hit, KIND_SPHERE, kind)
-        return Hit(t=t, kind=kind, prim=prim, u=u, v=v)
+            if pending is None:
+                pass
+            else:
+                pending = pending & ~s_hit
+        hit = Hit(t=t, kind=kind, prim=prim, u=u, v=v)
+        return (hit, pending) if return_pending else hit
 
 
 def _root_bounds(bvh):

@@ -120,7 +120,7 @@ def _alpha_eval(scene, u, v, prim, tested) -> jnp.ndarray:
     return (tested & (tbit == 1)) | by_tap
 
 
-def _alpha_rejected(scene, h: Hit, mask) -> jnp.ndarray:
+def _alpha_rejected(scene, h: Hit, mask, pending=None) -> jnp.ndarray:
     """Exact any-hit alpha test for committed hits (raytrace.rahit:53-58):
     True where the hit must be ignored (albedo texture alpha < cutoff).
 
@@ -130,10 +130,19 @@ def _alpha_rejected(scene, h: Hit, mask) -> jnp.ndarray:
     pre-filters the lanes; when none are flagged the whole test is a
     no-op, and when the flagged count fits the n/8 re-trace capacity the
     row gather + cell test + tap run on a compacted index set (2-column
-    argsort + cap-sized gathers + scatter-back — no full-width sorts)."""
+    argsort + cap-sized gathers + scatter-back — no full-width sorts).
+
+    `pending` (when the closest kernel ran with in-kernel cell masks,
+    traverse.WIDE_CELL_MASKS_CLOSEST): the kernel's per-ray needs-tap
+    bit. It already encodes `is_tri & alpha-tested & cell-undecided`, so
+    the (T,) flag gather is skipped and the population entering the cell
+    test is exactly the lanes whose cells cannot decide."""
     is_tri = h.kind == KIND_TRIANGLE
     prim = jnp.clip(h.prim, 0, scene.tri_pos.shape[0] - 1)
-    tested = mask & is_tri & scene.tri_alpha[prim]
+    if pending is None:
+        tested = mask & is_tri & scene.tri_alpha[prim]
+    else:
+        tested = mask & pending
     n = prim.shape[0]
     cap = _retrace_capacity(n)
     if cap == 0:
@@ -200,14 +209,18 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
     trace uses the kernel's static no-t_min variant."""
     from tpurt.bvh.traverse import _octant_morton_key, _sort_rays
 
-    hit = closest_hit(
+    hit, pending = closest_hit(
         bvh, scene.tri_pos, scene.lights, o, d, t_min0, cfg.t_max,
         include_spheres=include_spheres, active=active, sort_rays=sort_rays,
         incoherent=incoherent, interpret=interpret,
-        no_tmin=tmin_is_zero,
+        no_tmin=tmin_is_zero, return_pending=True,
     )
     if not has_alpha:
         return hit
+    # pending is not None iff the kernel ran its in-kernel any-hit
+    # (decided cells resolved during traversal; only undecided-cell hits
+    # reach the host tap). Static per bvh type + flag.
+    use_pending = pending is not None
 
     alpha_rejected = partial(_alpha_rejected, scene)
 
@@ -215,18 +228,19 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
     # heavy) texture test once, not once in cond and once in body; later
     # iterations only re-test the re-traced rays, so the any(tested) gate
     # usually turns the tail iterations into no-ops
-    rej0 = alpha_rejected(hit, active)
+    rej0 = alpha_rejected(hit, active, pending)
     n = o.shape[0]
     cap = _retrace_capacity(n)
 
     def _full_retrace(args):
         o, d, t_min, rej = args
-        return closest_hit(
+        out = closest_hit(
             bvh, scene.tri_pos, scene.lights, o, d, t_min, cfg.t_max,
             include_spheres=include_spheres, active=rej,
             sort_rays=SORT_RETRACE, incoherent=incoherent,
-            interpret=interpret,
+            interpret=interpret, return_pending=use_pending,
         )
+        return out if use_pending else (out, None)
 
     def _compact_retrace(args):
         # exact: the cond proved every rejected ray fits the slice; the
@@ -237,12 +251,14 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
             key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                   t_min, rej))
         o0, o1, o2, d0, d1, d2, tm, rj = (c[:cap] for c in cols)
-        nh = closest_hit(
+        out = closest_hit(
             bvh, scene.tri_pos, scene.lights,
             jnp.stack([o0, o1, o2], axis=1), jnp.stack([d0, d1, d2], axis=1),
             tm, cfg.t_max, include_spheres=include_spheres, active=rj,
             sort_rays=False, incoherent=incoherent, interpret=interpret,
+            return_pending=use_pending,
         )
+        nh, npend = out if use_pending else (out, None)
         pad = n - cap
         t = jnp.concatenate([nh.t, jnp.full(pad, cfg.t_max, jnp.float32)])
         kind = jnp.concatenate([nh.kind,
@@ -250,8 +266,13 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
         prim = jnp.concatenate([nh.prim, jnp.full(pad, -1, jnp.int32)])
         u = jnp.concatenate([nh.u, jnp.zeros(pad, jnp.float32)])
         v = jnp.concatenate([nh.v, jnp.zeros(pad, jnp.float32)])
-        _, (t, kind, prim, u, v) = _sort_rays(orig, (t, kind, prim, u, v))
-        return Hit(t=t, kind=kind, prim=prim, u=u, v=v)
+        if use_pending:
+            npend = jnp.concatenate([npend, jnp.zeros(pad, bool)])
+            _, (t, kind, prim, u, v, npend) = _sort_rays(
+                orig, (t, kind, prim, u, v, npend))
+        else:
+            _, (t, kind, prim, u, v) = _sort_rays(orig, (t, kind, prim, u, v))
+        return Hit(t=t, kind=kind, prim=prim, u=u, v=v), npend
 
     def cond(state):
         i, h, t_min, rej = state
@@ -261,11 +282,11 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
         i, h, t_min, rej = state
         t_min = jnp.where(rej, h.t * (1.0 + 1e-6) + 1e-5, t_min)
         if cap:
-            nh = jax.lax.cond(
+            nh, npend = jax.lax.cond(
                 jnp.sum(rej.astype(jnp.int32)) <= cap,
                 _compact_retrace, _full_retrace, (o, d, t_min, rej))
         else:
-            nh = _full_retrace((o, d, t_min, rej))
+            nh, npend = _full_retrace((o, d, t_min, rej))
         h = Hit(
             t=jnp.where(rej, nh.t, h.t),
             kind=jnp.where(rej, nh.kind, h.kind),
@@ -273,7 +294,9 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
             u=jnp.where(rej, nh.u, h.u),
             v=jnp.where(rej, nh.v, h.v),
         )
-        rej = alpha_rejected(h, rej)  # only re-traced rays can be rejected
+        # only re-traced rays can be rejected
+        rej = alpha_rejected(h, rej,
+                             (rej & npend) if use_pending else None)
         return i + 1, h, t_min, rej
 
     with jax.named_scope("alpha_retrace"):
@@ -334,7 +357,14 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
             # loop of _trace, in occlusion form (incl. the compacted
             # re-trace, see _retrace_capacity)
             unc = active & ~blocked & (hit.prim >= 0)
-            rej = _alpha_rejected(scene, hit, unc)
+            # with mask columns packed, the occlusion kernel's uncertain
+            # lanes are BY CONSTRUCTION alpha-testable undecided-cell hits
+            # (definite hits set blocked in-kernel): `unc` doubles as the
+            # pending bit, skipping the (T,) flag gather + cell re-test
+            kernel_masks = (bvh.tri_rows.shape[1]
+                            >= bvh.tribvh.group_size * 11)
+            rej = _alpha_rejected(scene, hit, unc,
+                                  unc if kernel_masks else None)
             blocked = blocked | (unc & ~rej)
             cap = _retrace_capacity(n)
 
@@ -390,7 +420,8 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
                     v=jnp.where(rej, h2.v, hit.v),
                 )
                 unc2 = rej & ~b2 & (hit.prim >= 0)
-                rej2 = _alpha_rejected(scene, hit, unc2)
+                rej2 = _alpha_rejected(scene, hit, unc2,
+                                       unc2 if kernel_masks else None)
                 blocked = blocked | (rej & b2) | (unc2 & ~rej2)
                 return i + 1, blocked, hit, t_min, rej2
 

@@ -412,11 +412,23 @@ def _tri_test(row, k, t_min, t_best, prim, leaf, active,
     _wide_kernel) the cell tests would otherwise tax EVERY step (~50%
     measured on a 192-alpha-tri scene). The occlusion kernel keeps them:
     there they upgrade uncertain alpha hits to definite blockers
-    (early-exit) instead of deferring whole packets to the recheck."""
+    (early-exit) instead of deferring whole packets to the recheck.
+
+    `row` is the (LANE,) leaf row in the single-walk kernel, or the
+    (SUB, LANE) per-walk row stack in the multi-walk kernel — there each
+    sublane row carries ITS walk's leaf data, so lane extraction becomes
+    an (SUB, 1) slice broadcasting against the (SUB, LANE) ray registers
+    instead of a whole-register scalar broadcast."""
+    if row.ndim == 2:
+        def _lane(i):
+            return row[:, i:i + 1]
+    else:
+        def _lane(i):
+            return row[i]
     base = k * 9
-    v0x, v0y, v0z = row[base + 0], row[base + 1], row[base + 2]
-    v1x, v1y, v1z = row[base + 3], row[base + 4], row[base + 5]
-    v2x, v2y, v2z = row[base + 6], row[base + 7], row[base + 8]
+    v0x, v0y, v0z = _lane(base + 0), _lane(base + 1), _lane(base + 2)
+    v1x, v1y, v1z = _lane(base + 3), _lane(base + 4), _lane(base + 5)
+    v2x, v2y, v2z = _lane(base + 6), _lane(base + 7), _lane(base + 8)
     e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
     e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
     px = dy * e2z - dz * e2y
@@ -436,7 +448,7 @@ def _tri_test(row, k, t_min, t_best, prim, leaf, active,
            & (t > t_min) & (t < t_best) & active)
     testable = None
     if use_masks and apply_cell_masks:
-        m_int = jnp.int32(row[group * 9 + k])
+        m_int = _lane(group * 9 + k).astype(jnp.int32)
         cu = jnp.clip((u * 4.0).astype(jnp.int32), 0, 3)
         cv = jnp.clip((v * 4.0).astype(jnp.int32), 0, 3)
         cell = cu * 4 + cv
@@ -446,13 +458,13 @@ def _tri_test(row, k, t_min, t_best, prim, leaf, active,
         if use_opaque:
             # fully-opaque cell: the alpha test cannot reject this hit, so
             # it is a DEFINITE surface even on alpha-tested geometry
-            o_int = jnp.int32(row[group * 10 + k])
+            o_int = _lane(group * 10 + k).astype(jnp.int32)
             obit = jnp.right_shift(o_int, cell) & 1
             testable = testable & (obit == 0)
     # the row's trailing G lanes carry GLOBAL triangle ids (f32-exact):
     # committing them here saves the wrapper a scalar-path remap gather
     id_base = group * (9 + int(use_masks) + int(use_opaque))
-    tri_id = row[id_base + k].astype(jnp.int32)
+    tri_id = _lane(id_base + k).astype(jnp.int32)
     t_best = jnp.where(hit, t, t_best)
     prim = jnp.where(hit, tri_id, prim)
     return t_best, prim, hit, testable
@@ -467,7 +479,8 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                  occlusion: bool, all_definite: bool, resident: bool,
                  gate: bool, unroll: int, dual: bool = False,
                  pair: bool = False, arity: int = ARITY,
-                 no_tmin: bool = False, descend: bool = False):
+                 no_tmin: bool = False, descend: bool = False,
+                 cell_masks: bool = False):
     """Stack-based 8-ary packet traversal (closest-hit or occlusion).
 
     Stack entries: wide node id (>= 0) or -(leaf id + 1). Slot hits of a
@@ -730,7 +743,18 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         return sp2, e2, h2, t_best, prim, blocked
 
     def leaf_path(entry, active, t_best, prim, blocked, is_node, side):
-        """G triangle tests (is_node semantics as in node_path)."""
+        """G triangle tests (is_node semantics as in node_path).
+
+        With `cell_masks` the CLOSEST kernel applies the 4x4 decided-cell
+        tests too (the occlusion kernel always does): candidates in
+        decided-TRANSPARENT cells are skipped in-kernel — traversal
+        continues naturally, replacing a whole host-side re-trace
+        relaunch per skip — and `blocked` is repurposed as a per-ray
+        PENDING flag: 1.0 iff the committed hit still needs the host
+        texture tap (alpha-testable triangle, cell undecided). Decided-
+        OPAQUE cells commit as definite (pending 0). The host recheck
+        then runs on exactly the pending lanes, with no (T,) flag gather
+        and no cell re-test."""
         (oct_s, ox, oy, oz, dx, dy, dz, t_min,
          inv_x, inv_y, inv_z, stk) = side
         leaf = jnp.maximum(-entry - 1, 0)
@@ -741,7 +765,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
             t_best, prim, hit, testable = _tri_test(
                 lrow, k, t_min, t_best, prim, leaf, lactive,
                 ox, oy, oz, dx, dy, dz, group, use_masks, use_opaque,
-                apply_cell_masks=occlusion)
+                apply_cell_masks=occlusion or cell_masks)
             if occlusion:
                 if use_masks:
                     definite = hit & jnp.logical_not(testable)
@@ -752,6 +776,12 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                 if definite is not None:
                     blocked = jnp.maximum(
                         blocked, jnp.where(definite, 1.0, 0.0))
+            elif cell_masks and use_masks:
+                # closest: overwrite semantics — the committed (closest-
+                # so-far) hit's testability wins; later farther tris
+                # don't set `hit`
+                blocked = jnp.where(
+                    hit, jnp.where(testable, 1.0, 0.0), blocked)
         return t_best, prim, blocked
 
     def step_dual(carry):
@@ -910,14 +940,274 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         blk_ref[:] = blocked
 
 
+def _octet_kernel(oct_ref, nb_ref, tr_ref,
+                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  tmin_ref, tlim_ref,
+                  t_ref, prim_ref, blk_ref,
+                  stack_ref,
+                  *, group: int, use_masks: bool, use_opaque: bool,
+                  occlusion: bool, all_definite: bool,
+                  walks: int, unroll: int, arity: int = ARITY,
+                  no_tmin: bool = False, cell_masks: bool = False):
+    """Multi-walk packet traversal: each program advances `walks`
+    INDEPENDENT sub-packets of 1024/walks rays (walk w owns sublane rows
+    w*rpw..(w+1)*rpw of the (8, 128) ray block), each with its own SMEM
+    stack. The packet kernel's fundamental incoherent cost is that a
+    packet walks the UNION of its rays' node visits; shrinking the
+    packet from 1024 rays to 128 (walks=8) shrinks that union
+    multiplicatively while the vector math still fills all 8x128 lanes
+    (every walk executes the same predicated step on its own node/leaf
+    row).
+
+    Per-walk row data is expanded to (8, 128) via sublane-stacking +
+    repeat, so box/triangle lane extraction becomes an (8, 1) slice
+    broadcast (see _tri_test's 2-D row mode) instead of a whole-register
+    scalar broadcast. Walks at a leaf (or with an empty stack) fetch the
+    DUMMY rows the wrapper appends — NaN boxes fail every slab compare
+    and an all-zero leaf row fails every Moller-Trumbore det test — so
+    no per-walk activity masking is needed anywhere in the vector path.
+
+    Costs vs the single-walk kernel, per step: `walks` stack pops +
+    hitmask vector->scalar transfers + push blocks instead of one, and
+    `walks` node/leaf row fetches. Wins: steps per ray drop with the
+    union size. Requires resident tables (per-walk octants); composes
+    with the predicated step only (per-walk divergence makes the
+    cond-gated structure inapplicable)."""
+    pid = pl.program_id(0)
+    rpw = _SUB // walks
+    w_dummy = nb_ref.shape[1] - 1   # wrapper-appended NaN-box node row
+    l_dummy = tr_ref.shape[0] - 1   # wrapper-appended zero leaf row
+
+    ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
+    dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
+    t_min = jnp.float32(0.0) if no_tmin else tmin_ref[:, :]
+    tiny = jnp.float32(1e-20)
+    inv_x = jnp.where(dx >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dx), tiny)
+    inv_y = jnp.where(dy >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dy), tiny)
+    inv_z = jnp.where(dz >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dz), tiny)
+    octs = [oct_ref[walks * pid + w] for w in range(walks)]
+
+    for w in range(walks):
+        stack_ref[w, 0] = jnp.int32(0)  # wide root
+
+    def expand(rows):
+        """walks x (LANE,) -> (SUB, LANE): walk w's row on its rpw
+        sublane rows."""
+        r = jnp.stack(rows)                      # (walks, LANE)
+        if r.dtype == jnp.bfloat16:
+            r = r.astype(jnp.float32)
+        if rpw > 1:
+            r = jnp.repeat(r, rpw, axis=0)       # [w0,w0,..,w1,w1,..]
+        return r
+
+    bf16 = nb_ref.dtype == jnp.bfloat16
+    if bf16:
+        assert arity == 8, "bf16 node rows are only laid out for arity 8"
+
+    def step(carry):
+        sp = list(carry[:walks])
+        t_best, prim, blocked = carry[walks], carry[walks + 1], carry[walks + 2]
+
+        # ---- per-walk pop (scalar SMEM traffic) -------------------------
+        entries, node_idx, leaf_idx = [], [], []
+        for w in range(walks):
+            alive = sp[w] > 0
+            spw = sp[w] - alive.astype(jnp.int32)
+            e = jnp.where(alive, stack_ref[w, jnp.maximum(spw, 0)],
+                          jnp.int32(1))  # dead walk: positive sentinel
+            is_node = alive & (e >= 0)
+            node_idx.append(jnp.where(is_node, jnp.maximum(e, 0),
+                                      jnp.int32(w_dummy)))
+            leaf_idx.append(jnp.where(alive & jnp.logical_not(is_node),
+                                      jnp.maximum(-e - 1, 0),
+                                      jnp.int32(l_dummy)))
+            entries.append(e)
+            sp[w] = spw
+
+        # ---- node phase: per-walk row, vectorized box tests -------------
+        nrows = [nb_ref[octs[w], node_idx[w]] for w in range(walks)]
+        row8 = expand(nrows)
+        hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
+        for s in range(arity):
+            b = s * 6
+            t0x = (row8[:, _BOX0 + b + 0:_BOX0 + b + 1] - ox) * inv_x
+            t0y = (row8[:, _BOX0 + b + 1:_BOX0 + b + 2] - oy) * inv_y
+            t0z = (row8[:, _BOX0 + b + 2:_BOX0 + b + 3] - oz) * inv_z
+            t1x = (row8[:, _BOX0 + b + 3:_BOX0 + b + 4] - ox) * inv_x
+            t1y = (row8[:, _BOX0 + b + 4:_BOX0 + b + 5] - oy) * inv_y
+            t1z = (row8[:, _BOX0 + b + 5:_BOX0 + b + 6] - oz) * inv_z
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+            # NaN dummy boxes: tn <= tf is False on every lane
+            hitbits = hitbits | jnp.where(tn <= tf, jnp.int32(1 << s),
+                                          jnp.int32(0))
+        # collapse lanes (direction-free full OR within each sublane row);
+        # the per-walk OR across its rpw rows happens scalar-side below —
+        # a cyclic sublane roll would mix rows ACROSS walk boundaries in
+        # one roll direction
+        for shift in (64, 32, 16, 8, 4, 2, 1):
+            hitbits = hitbits | pltpu.roll(hitbits, shift, 1)
+
+        # ---- per-walk push (scalar) -------------------------------------
+        for w in range(walks):
+            mask_w = hitbits[w * rpw, 0]
+            for j in range(1, rpw):
+                mask_w = mask_w | hitbits[w * rpw + j, 0]
+            if bf16:
+                nrow = nrows[w].astype(jnp.float32)
+                kinds = [nrow[_BKIND0 + s].astype(jnp.int32)
+                         for s in range(arity)]
+                links = [nrow[_BLINKH0 + s].astype(jnp.int32) * 65536
+                         + nrow[_BLINKM0 + s].astype(jnp.int32) * 256
+                         + nrow[_BLINKL0 + s].astype(jnp.int32)
+                         for s in range(arity)]
+            else:
+                link0, kind0 = 6 * arity, 7 * arity
+                kinds = [nrows[w][kind0 + s].astype(jnp.int32)
+                         for s in range(arity)]
+                links = [nrows[w][link0 + s].astype(jnp.int32)
+                         for s in range(arity)]
+            pushes = [((jnp.right_shift(mask_w, s) & 1) > 0) & (kinds[s] > 0)
+                      for s in range(arity)]
+            sp_out = sp[w]
+            for s in range(arity):
+                sp_out = sp_out + pushes[s].astype(jnp.int32)
+
+            @pl.when(mask_w != 0)
+            def _(sp_in=sp[w], w=w, pushes=pushes, kinds=kinds, links=links):
+                c = sp_in
+                for s in range(arity - 1, -1, -1):
+                    child = jnp.where(kinds[s] == 2, -(links[s] + 1),
+                                      links[s])
+                    stack_ref[w, c] = child
+                    c = c + pushes[s].astype(jnp.int32)
+
+            sp[w] = sp_out
+
+        # ---- leaf phase: per-walk leaf row, vectorized tri tests --------
+        lrow8 = expand([tr_ref[leaf_idx[w]] for w in range(walks)])
+        for k in range(group):
+            t_best, prim, hit, testable = _tri_test(
+                lrow8, k, t_min, t_best, prim, None, True,
+                ox, oy, oz, dx, dy, dz, group, use_masks, use_opaque,
+                apply_cell_masks=occlusion or cell_masks)
+            if occlusion:
+                if use_masks:
+                    definite = hit & jnp.logical_not(testable)
+                elif all_definite:
+                    definite = hit
+                else:
+                    definite = None
+                if definite is not None:
+                    blocked = jnp.maximum(
+                        blocked, jnp.where(definite, 1.0, 0.0))
+            elif cell_masks and use_masks:
+                blocked = jnp.where(
+                    hit, jnp.where(testable, 1.0, 0.0), blocked)
+
+        return tuple(sp) + (t_best, prim, blocked)
+
+    def body(carry):
+        for _ in range(unroll):
+            carry = step(carry)
+        return carry
+
+    def cond(carry):
+        alive = carry[0] > 0
+        for w in range(1, walks):
+            alive = alive | (carry[w] > 0)
+        if occlusion:
+            t_best, blocked = carry[walks], carry[walks + 2]
+            alive = alive & jnp.any((blocked == 0.0) & (t_best > -1e37))
+        return alive
+
+    init = tuple(jnp.int32(1) for _ in range(walks)) + (
+        tlim_ref[:, :],
+        jnp.full((_SUB, _LANE), -1, jnp.int32),
+        jnp.zeros((_SUB, _LANE), jnp.float32),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    t_ref[:] = out[walks]
+    prim_ref[:] = out[walks + 1]
+    blk_ref[:] = out[walks + 2]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "group", "occlusion", "all_definite", "walks", "unroll", "arity",
+    "no_tmin", "cell_masks", "interpret"))
+def _octet_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
+                   tmin, tlim, *, group, occlusion, all_definite, walks,
+                   unroll=_UNROLL, arity=ARITY, no_tmin=False,
+                   cell_masks=False, interpret=False):
+    """pallas_call wrapper for the multi-walk kernel. Appends the dummy
+    rows (NaN-box node row per octant, zero leaf row) the kernel's
+    maskless predication relies on, and requires whole-table residency
+    (per-walk octants index the full table)."""
+    n_packets = ox.shape[0] // _SUB
+    w = node_rows.shape[1]
+    nan_row = jnp.full((node_rows.shape[0], 1, _LANE), jnp.nan,
+                       node_rows.dtype)
+    if node_rows.dtype == jnp.bfloat16:
+        # kind lanes must read 0 (empty) — NaN->int casts are
+        # implementation-defined; box lanes keep NaN
+        nan_row = nan_row.at[:, :, _BKIND0:_BKIND0 + 8].set(0)
+    else:
+        nan_row = nan_row.at[:, :, 6 * arity:].set(0)
+    nodes = jnp.concatenate([node_rows, nan_row], axis=1)
+    tris = jnp.concatenate(
+        [tri_rows, jnp.zeros((1, tri_rows.shape[1]), tri_rows.dtype)],
+        axis=0)
+
+    table_bytes = (8 * (w + 1) * _LANE * nodes.dtype.itemsize
+                   + tris.shape[0] * _LANE * 4)
+    assert table_bytes < _RESIDENT_BUDGET, (
+        "multi-walk kernel requires resident tables")
+
+    ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p, oct_ref: (p, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_packets,),
+        in_specs=[full, full] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 3,
+        scratch_shapes=[pltpu.SMEM((walks, _STACK), jnp.int32)],
+    )
+    kernel = functools.partial(
+        _octet_kernel, group=group, use_masks=tris.shape[1] >= group * 11,
+        use_opaque=tris.shape[1] == group * 12, occlusion=occlusion,
+        all_definite=all_definite, walks=walks, unroll=unroll, arity=arity,
+        no_tmin=no_tmin, cell_masks=cell_masks)
+    out_shape = [
+        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(ox.shape, jnp.int32),
+        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
+    ]
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=118 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        **params,
+    )(octants, nodes, tris, ox, oy, oz, dx, dy, dz, tmin, tlim)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "group", "occlusion", "all_definite", "gate", "unroll", "dual",
-    "pair", "arity", "no_tmin", "descend", "interpret"))
+    "pair", "arity", "no_tmin", "descend", "cell_masks", "interpret"))
 def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                   tmin, tlim, *, group, occlusion, all_definite,
                   gate=False, unroll=_UNROLL, dual=False, pair=False,
                   arity=ARITY, no_tmin=False, descend=False,
-                  interpret=False):
+                  cell_masks=False, interpret=False):
     n_packets = ox.shape[0] // _SUB
     w = node_rows.shape[1]
     sub = 2 * _SUB if pair else _SUB
@@ -966,7 +1256,8 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                                occlusion=occlusion, all_definite=all_definite,
                                resident=resident, gate=gate, unroll=unroll,
                                dual=dual, pair=pair, arity=arity,
-                               no_tmin=no_tmin, descend=descend)
+                               no_tmin=no_tmin, descend=descend,
+                               cell_masks=cell_masks)
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.int32),
@@ -986,7 +1277,7 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     )(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz, tmin, tlim)
 
 
-def _layout(kbvh, o, d, t_min, t_limit, active, pair=False):
+def _layout(kbvh, o, d, t_min, t_limit, active, pair=False, walks=1):
     n = o.shape[0]
     quantum = 2 * PACKET if pair else PACKET  # pair pads to packet PAIRS
     padded = max(quantum, ((n + quantum - 1) // quantum) * quantum)
@@ -1011,7 +1302,12 @@ def _layout(kbvh, o, d, t_min, t_limit, active, pair=False):
         + (dy < 0).astype(jnp.int32) * 2
         + (dz < 0).astype(jnp.int32)
     )
-    octants = oct_all.reshape(-1, _SUB, _LANE)[:, 0, 0]
+    if walks > 1:
+        # one octant per WALK (the first ray of each 1024/walks chunk)
+        rpw = _SUB // walks
+        octants = oct_all.reshape(-1, rpw * _LANE)[:, 0]
+    else:
+        octants = oct_all.reshape(-1, _SUB, _LANE)[:, 0, 0]
     return octants, ox, oy, oz, dx, dy, dz, tm, tl, n
 
 
@@ -1041,7 +1337,8 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
                      interpret: bool = False, gate: bool = False,
                      need_uv: bool = True, unroll: int = _UNROLL,
                      dual: bool = False, pair: bool = False,
-                     no_tmin: bool = False, descend: bool = False):
+                     no_tmin: bool = False, descend: bool = False,
+                     cell_masks: bool = False, octet: int = 0):
     """Closest-hit via the wide kernel (same contract as
     pallas_traverse.traverse_packets). `gate=True` selects the
     cond-gated step structure — 1.43x faster for sorted incoherent
@@ -1049,24 +1346,46 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
     (see _wide_kernel). With need_uv=False the u/v recompute (a (T, 9)
     row gather + fusion, ~8% of band device time when run per trace) is
     skipped and zeros are returned — the integrator recomputes
-    barycentrics inside its shade/alpha row gathers instead."""
+    barycentrics inside its shade/alpha row gathers instead.
+
+    With `cell_masks` the kernel runs the in-leaf any-hit cell tests for
+    CLOSEST traversal too (decided-transparent candidates skipped
+    in-kernel, replacing host re-trace relaunches) and the return
+    becomes a 5-tuple (t, prim, u, v, pending): pending True iff the
+    committed hit still needs the host texture tap. Requires the mask
+    columns in the leaf rows; without them pending is returned as None
+    (still a 5-tuple) and the kernel behaves exactly as
+    cell_masks=False."""
     tribvh = kbvh.tribvh
+    want_pending = cell_masks
+    if cell_masks and kbvh.tri_rows.shape[1] < tribvh.group_size * 11:
+        cell_masks = False  # no mask columns packed: nothing to apply
     t_limit = jnp.full(o.shape[0], t_max, jnp.float32)
     octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active,
-                                pair=pair)
-    t, prim, _ = _wide_packets(
-        octants, kbvh.node_rows, kbvh.tri_rows, *rays,
-        group=tribvh.group_size, occlusion=False, all_definite=False,
-        gate=gate, unroll=unroll, dual=dual, pair=pair,
-        arity=kbvh.arity, no_tmin=no_tmin, descend=descend,
-        interpret=interpret)
+                                pair=pair, walks=octet if octet else 1)
+    if octet:
+        t, prim, pend = _octet_packets(
+            octants, kbvh.node_rows, kbvh.tri_rows, *rays,
+            group=tribvh.group_size, occlusion=False, all_definite=False,
+            walks=octet, unroll=unroll, arity=kbvh.arity, no_tmin=no_tmin,
+            cell_masks=cell_masks, interpret=interpret)
+    else:
+        t, prim, pend = _wide_packets(
+            octants, kbvh.node_rows, kbvh.tri_rows, *rays,
+            group=tribvh.group_size, occlusion=False, all_definite=False,
+            gate=gate, unroll=unroll, dual=dual, pair=pair,
+            arity=kbvh.arity, no_tmin=no_tmin, descend=descend,
+            cell_masks=cell_masks, interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
     if need_uv:
         u, v = _uv_from_prim(kbvh, o, d, prim)
     else:
         u = v = jnp.zeros_like(t)
-    return t, prim, u, v
+    if not want_pending:
+        return t, prim, u, v
+    pending = pend.reshape(-1)[:n] > 0.5 if cell_masks else None
+    return t, prim, u, v, pending
 
 
 def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
@@ -1074,20 +1393,28 @@ def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
                       need_uv: bool = True, unroll: int = _UNROLL,
                       dual: bool = False, pair: bool = False,
                       gate: bool = False, no_tmin: bool = False,
-                      descend: bool = False):
+                      descend: bool = False, octet: int = 0):
     """Occlusion query via the wide kernel (same contract as
     pallas_traverse.occlusion_packets). need_uv as in traverse_packets;
     `gate` as in the closest wrapper (cond-gated step — measure per ray
-    population; the predicated step usually wins on bounded NEE rays)."""
+    population; the predicated step usually wins on bounded NEE rays).
+    `octet` (2/4/8) selects the multi-walk kernel (_octet_kernel)."""
     tribvh = kbvh.tribvh
     octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active,
-                                pair=pair)
-    t, prim, blocked = _wide_packets(
-        octants, kbvh.node_rows, kbvh.tri_rows, *rays,
-        group=tribvh.group_size, occlusion=True,
-        all_definite=not scene_has_alpha, unroll=unroll, dual=dual,
-        pair=pair, arity=kbvh.arity, gate=gate, no_tmin=no_tmin,
-        descend=descend, interpret=interpret)
+                                pair=pair, walks=octet if octet else 1)
+    if octet:
+        t, prim, blocked = _octet_packets(
+            octants, kbvh.node_rows, kbvh.tri_rows, *rays,
+            group=tribvh.group_size, occlusion=True,
+            all_definite=not scene_has_alpha, walks=octet, unroll=unroll,
+            arity=kbvh.arity, no_tmin=no_tmin, interpret=interpret)
+    else:
+        t, prim, blocked = _wide_packets(
+            octants, kbvh.node_rows, kbvh.tri_rows, *rays,
+            group=tribvh.group_size, occlusion=True,
+            all_definite=not scene_has_alpha, unroll=unroll, dual=dual,
+            pair=pair, arity=kbvh.arity, gate=gate, no_tmin=no_tmin,
+            descend=descend, interpret=interpret)
     blocked = blocked.reshape(-1)[:n] > 0.0
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
