@@ -473,3 +473,72 @@ def test_wide_kernel_descend_no_tmin_parity():
                                   no_tmin=True, descend=True)
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_octet_kernel_matches_single_walk():
+    """The multi-walk kernel (walks independent 1024/walks-ray
+    sub-packets per program) must commit exactly the hits of the
+    single-walk kernel: same t, same prim, for closest AND occlusion,
+    at walks=2 and walks=8."""
+    tris = _random_tris(600, seed=3)
+    tb = build_triangle_bvh(tris, group_size=8)
+    kb = make_wide_kernel_bvh(tb, tris)
+    o, d = _random_rays(2048, seed=4)
+    z = jnp.zeros(2048)
+    act = jnp.ones(2048, bool)
+
+    t0, p0, u0, v0 = traverse_packets(kb, o, d, z, 1e9, act, interpret=True)
+    for walks in (2, 8):
+        t1, p1, u1, v1 = traverse_packets(kb, o, d, z, 1e9, act,
+                                          interpret=True, octet=walks)
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        np.testing.assert_allclose(np.asarray(t0), np.asarray(t1),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(u0), np.asarray(u1),
+                                   rtol=1e-5, atol=1e-6)
+
+    tl = jnp.full(2048, 4.0)
+    b0, *h0 = occlusion_packets(kb, o, d, z, tl, act, False, interpret=True)
+    for walks in (2, 8):
+        b1, *h1 = occlusion_packets(kb, o, d, z, tl, act, False,
+                                    interpret=True, octet=walks)
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+
+
+def test_octet_kernel_alpha_masks_parity():
+    """Multi-walk closest with in-kernel cell masks: pending bits and
+    committed hits must match the single-walk cell-masks kernel on an
+    alpha-tested scene."""
+    import jax
+
+    from tpurt.scene import build_device_scene, load_gltf
+    from tpurt.scene.procedural import write_sponza_like_scene
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = write_sponza_like_scene(os.path.join(td, "mini.gltf"),
+                                       columns=1, foliage=8, stacks=1,
+                                       segments=8, rings=6)
+        dev = build_device_scene(load_gltf(path))
+    tb = build_triangle_bvh(dev.tri_pos, group_size=8)
+    kb = make_wide_kernel_bvh(tb, dev.tri_pos,
+                              tri_alpha_mask=dev.tri_alpha_mask,
+                              tri_alpha_opaque=dev.tri_alpha_opaque)
+    n = 1024
+    r = np.random.RandomState(9)
+    o = jnp.asarray(np.tile([0.0, -4.0, 0.0], (n, 1)).astype(np.float32)
+                    + r.uniform(-1, 1, (n, 3)).astype(np.float32))
+    dirs = r.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    d = jnp.asarray(dirs)
+    z = jnp.zeros(n)
+    act = jnp.ones(n, bool)
+
+    t0, p0, _, _, pd0 = traverse_packets(kb, o, d, z, 1e9, act,
+                                         interpret=True, cell_masks=True)
+    t1, p1, _, _, pd1 = traverse_packets(kb, o, d, z, 1e9, act,
+                                         interpret=True, cell_masks=True,
+                                         octet=8)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pd0), np.asarray(pd1))
