@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--near", type=float, default=0.0,
                     help="also time a two-pass distance-bounded closest "
                          "trace with r0 = NEAR * scene_diag (e.g. 0.1)")
+    ap.add_argument("--octet", type=int, default=0,
+                    help="multi-walk kernel: 2/4/8 independent "
+                         "1024/N-ray sub-packets per program "
+                         "(pallas_wide._octet_kernel; predicated step, "
+                         "gate ignored)")
     args = ap.parse_args()
 
     from tpurt.utils.profiling import enable_compilation_cache
@@ -138,7 +143,14 @@ def main():
             "--descend composes with the plain/gated step only"
         dual_kw["descend"] = True
         print("descend-direct step enabled")
-    plain_gate = args.dual or args.pair  # variants use the predicated step
+    if args.octet:
+        assert not (args.dual or args.pair or args.descend), \
+            "--octet is its own kernel (predicated multi-walk step)"
+        dual_kw["octet"] = args.octet
+        print(f"multi-walk kernel enabled: {args.octet} walks x "
+              f"{1024 // args.octet} rays")
+    plain_gate = (args.dual or args.pair
+                  or bool(args.octet))  # variants use the predicated step
 
     def closest(o, d, gate=False):
         t, prim, u, v = pallas_wide.traverse_packets(
