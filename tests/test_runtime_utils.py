@@ -87,3 +87,16 @@ def test_render_stats(tmp_path):
     assert st["rays_logical"] >= st["rays_physical"]  # folded MIS default
     assert 0 < st["fold_efficiency"] <= 1.0
     assert st["mrays_per_sec"] > 0
+
+
+def test_compilation_cache_noop_on_cpu():
+    """enable_compilation_cache must be a no-op on the CPU backend
+    (VERDICT r3 weak #7): serializing CPU executables for the cache
+    write has segfaulted the interpreter mid-suite, and the dryrun
+    path relies on the cache staying off when it forces CPU."""
+    from tpurt.utils.profiling import enable_compilation_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    enable_compilation_cache("/tmp/should_never_be_set")
+    assert jax.config.jax_compilation_cache_dir == before
+    assert jax.config.jax_compilation_cache_dir != "/tmp/should_never_be_set"

@@ -70,6 +70,13 @@ WIDE_DESCEND_OCCLUSION = False
 # of gathering the (T,) alpha flags. Off = the round-3 formulation
 # (commit every hit, reject + re-trace on the host).
 WIDE_CELL_MASKS_CLOSEST = True
+# multi-walk kernel (pallas_wide._octet_kernel): 0 = off (single-walk
+# production kernel), 2/4/8 = that many independent 1024/N-ray
+# sub-packets per program. Shrinks the per-packet node-visit union for
+# incoherent rays at the cost of N stack managements + hitmask
+# transfers per step; measure per ray class (kernel_bench --octet).
+WIDE_OCTET_CLOSEST = 0
+WIDE_OCTET_OCCLUSION = 0
 
 
 @partial(jax.jit, static_argnames=("include_spheres",))
@@ -252,7 +259,8 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
         pair=WIDE_PAIR_CLOSEST, dual=WIDE_DUAL_CLOSEST,
         descend=WIDE_DESCEND_CLOSEST
         and not (WIDE_PAIR_CLOSEST or WIDE_DUAL_CLOSEST),
-        no_tmin=no_tmin, cell_masks=cell_masks)
+        no_tmin=no_tmin, cell_masks=cell_masks,
+        octet=WIDE_OCTET_CLOSEST)
 
     n = o.shape[0]
     if active is None:
@@ -386,7 +394,8 @@ def occlusion_hit(kbvh, o, d, t_min, t_limit, active, scene_has_alpha: bool,
                                 descend=WIDE_DESCEND_OCCLUSION
                                 and not (WIDE_PAIR_OCCLUSION
                                          or WIDE_DUAL_OCCLUSION),
-                                no_tmin=no_tmin)
+                                no_tmin=no_tmin,
+                                octet=WIDE_OCTET_OCCLUSION)
 
     n = o.shape[0]
     if active is None:
