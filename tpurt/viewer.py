@@ -183,8 +183,14 @@ class ViewerState:
                 time.sleep(0.1)
 
 
-def serve(renderer, host: str = "127.0.0.1", port: int = 8000):
-    """Serve the progressive viewer (blocks until Ctrl-C)."""
+def serve(renderer, host: str = "127.0.0.1", port: int = 8000,
+          block: bool = True):
+    """Serve the progressive viewer. With `block` (the CLI path) this
+    blocks until Ctrl-C. With block=False it returns (server, state,
+    stop): callers (tests) MUST call stop() — the render worker keeps
+    driving the jax backend otherwise, and a leaked worker stepping
+    concurrently with later device work has segfaulted the interpreter
+    (observed under the full pytest run, round 4)."""
     state = ViewerState(renderer)
     worker = threading.Thread(target=state.render_loop, daemon=True)
     worker.start()
@@ -225,6 +231,19 @@ def serve(renderer, host: str = "127.0.0.1", port: int = 8000):
                 self._send(404, b"not found", "text/plain")
 
     server = ThreadingHTTPServer((host, port), Handler)
+    if not block:
+        http_thread = threading.Thread(target=server.serve_forever,
+                                       daemon=True)
+        http_thread.start()
+
+        def stop():
+            state.running = False
+            worker.join(timeout=60)
+            server.shutdown()
+            http_thread.join(timeout=10)
+            server.server_close()
+
+        return server, state, stop
     print(f"tpurt viewer at http://{host}:{port}/ (Ctrl-C to stop)")
     try:
         server.serve_forever()
@@ -232,4 +251,5 @@ def serve(renderer, host: str = "127.0.0.1", port: int = 8000):
         pass
     finally:
         state.running = False
+        worker.join(timeout=60)
         server.server_close()
