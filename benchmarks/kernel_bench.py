@@ -61,6 +61,9 @@ def main():
     ap.add_argument("--near", type=float, default=0.0,
                     help="also time a two-pass distance-bounded closest "
                          "trace with r0 = NEAR * scene_diag (e.g. 0.1)")
+    ap.add_argument("--nosort", action="store_true",
+                    help="also time the incoherent workload UNSORTED "
+                         "(integrator-without-pre-sort scenario)")
     ap.add_argument("--octet", type=int, default=0,
                     help="multi-walk kernel: 2/4/8 independent "
                          "1024/N-ray sub-packets per program "
@@ -185,6 +188,14 @@ def main():
     dt = _timed(lambda: closest(obs, dbs, gate=True), args.reps)
     results["incoherent_closest_ms"] = dt * 1e3
     results["incoherent_closest_mrays"] = n / dt / 1e6
+
+    if args.nosort:
+        # UNSORTED incoherent: what the integrator would pay if it
+        # skipped the pre-sort entirely (sub-packet kernels shrink the
+        # per-packet visit union, so sorting buys less there — measure)
+        dt = _timed(lambda: closest(ob, dirs, gate=True), args.reps)
+        results["incoherent_nosort_closest_ms"] = dt * 1e3
+        results["incoherent_nosort_closest_mrays"] = n / dt / 1e6
 
     if args.near > 0:
         # two-pass distance-bounded closest trace: pass 1 with

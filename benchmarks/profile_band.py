@@ -91,22 +91,37 @@ def main():
     evs = [ev for ev in trace["traceEvents"]
            if ev.get("ph") == "X" and (ev.get("pid"), ev.get("tid")) in op_tracks]
     evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+
+    def opkind(name):
+        """HLO op-kind bucket: 'sort', 'gather', 'fusion', 'custom-call'
+        (the Pallas kernel), 'while', ... — survives XLA's collapsing of
+        fused-op source lines onto the enclosing control-flow site."""
+        base = name.split(".")[0].split("(")[0]
+        return base.rstrip("0123456789_")
+
     excl = collections.Counter()
-    stack = []  # (end_ts, bucket_key)
+    kinds = collections.Counter()
+    stack = []  # (end_ts, src_key, kind_key)
     for ev in evs:
         ts, dur = ev["ts"], ev["dur"]
         src = (ev.get("args") or {}).get("source") or "?"
         key = src.split("/")[-1]
+        kind = opkind(ev.get("name", "?"))
         while stack and stack[-1][0] <= ts + 1e-9:
             stack.pop()
         if stack:
             excl[stack[-1][1]] -= dur  # self-time: children subtract
+            kinds[stack[-1][2]] -= dur
         excl[key] += dur
-        stack.append((ts + dur, key))
+        kinds[kind] += dur
+        stack.append((ts + dur, key, kind))
 
     total = sum(excl.values()) / 1e6
     print(f"\ndevice total (exclusive): {total:.3f} s  ({args.rows} rows x {width})")
     for k, v in excl.most_common(25):
+        print(f"  {v / 1e6:8.3f} s  {100 * v / 1e6 / max(total, 1e-9):5.1f}%  {k}")
+    print("\nby HLO op kind (exclusive):")
+    for k, v in kinds.most_common(15):
         print(f"  {v / 1e6:8.3f} s  {100 * v / 1e6 / max(total, 1e-9):5.1f}%  {k}")
 
 

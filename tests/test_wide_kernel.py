@@ -487,10 +487,16 @@ def test_octet_kernel_matches_single_walk():
     z = jnp.zeros(2048)
     act = jnp.ones(2048, bool)
 
-    t0, p0, u0, v0 = traverse_packets(kb, o, d, z, 1e9, act, interpret=True)
+    # unroll=1 everywhere below: the interpret-mode octet graph at the
+    # default unroll=4 (walks x 16 slots x G tri tests, x4) is large
+    # enough to overflow the XLA CPU compiler's stack (observed
+    # segfault); correctness is unroll-invariant
+    t0, p0, u0, v0 = traverse_packets(kb, o, d, z, 1e9, act, interpret=True,
+                                      unroll=1)
     for walks in (2, 8):
         t1, p1, u1, v1 = traverse_packets(kb, o, d, z, 1e9, act,
-                                          interpret=True, octet=walks)
+                                          interpret=True, octet=walks,
+                                          unroll=1)
         np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
         np.testing.assert_allclose(np.asarray(t0), np.asarray(t1),
                                    rtol=1e-6)
@@ -498,10 +504,11 @@ def test_octet_kernel_matches_single_walk():
                                    rtol=1e-5, atol=1e-6)
 
     tl = jnp.full(2048, 4.0)
-    b0, *h0 = occlusion_packets(kb, o, d, z, tl, act, False, interpret=True)
+    b0, *h0 = occlusion_packets(kb, o, d, z, tl, act, False, interpret=True,
+                                unroll=1)
     for walks in (2, 8):
         b1, *h1 = occlusion_packets(kb, o, d, z, tl, act, False,
-                                    interpret=True, octet=walks)
+                                    interpret=True, octet=walks, unroll=1)
         np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
 
 
@@ -535,10 +542,11 @@ def test_octet_kernel_alpha_masks_parity():
     act = jnp.ones(n, bool)
 
     t0, p0, _, _, pd0 = traverse_packets(kb, o, d, z, 1e9, act,
-                                         interpret=True, cell_masks=True)
+                                         interpret=True, cell_masks=True,
+                                         unroll=1)
     t1, p1, _, _, pd1 = traverse_packets(kb, o, d, z, 1e9, act,
                                          interpret=True, cell_masks=True,
-                                         octet=8)
+                                         octet=8, unroll=1)
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(pd0), np.asarray(pd1))
