@@ -475,7 +475,7 @@ def test_wide_kernel_descend_no_tmin_parity():
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
 
 
-def test_octet_kernel_matches_single_walk():
+def _octet_single_walk_parity():
     """The multi-walk kernel (walks independent 1024/walks-ray
     sub-packets per program) must commit exactly the hits of the
     single-walk kernel: same t, same prim, for closest AND occlusion,
@@ -512,7 +512,7 @@ def test_octet_kernel_matches_single_walk():
         np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
 
 
-def test_octet_kernel_alpha_masks_parity():
+def _octet_alpha_masks_parity():
     """Multi-walk closest with in-kernel cell masks: pending bits and
     committed hits must match the single-walk cell-masks kernel on an
     alpha-tested scene."""
@@ -550,3 +550,54 @@ def test_octet_kernel_alpha_masks_parity():
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(pd0), np.asarray(pd1))
+
+
+def _run_octet_subprocess(which: str):
+    """Run an octet parity check in a FRESH interpreter: the XLA CPU
+    compiler segfaults on the big multi-walk interpret graphs when the
+    parent process has already compiled the rest of the suite (state-
+    dependent stack/heap exhaustion — observed at both unroll=4 and
+    unroll=1 mid-suite, while the same checks pass standalone). A
+    subprocess isolates the crash AND still fails the test visibly on
+    any regression (assert or compiler crash -> nonzero returncode)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), which],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, (
+        f"octet parity subprocess {which} failed rc={out.returncode}\n"
+        f"stdout: {out.stdout[-2000:]}\nstderr: {out.stderr[-2000:]}")
+
+
+def test_octet_kernel_matches_single_walk():
+    _run_octet_subprocess("single_walk")
+
+
+def test_octet_kernel_alpha_masks_parity():
+    _run_octet_subprocess("alpha_masks")
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    import jax as _jax
+
+    # the axon TPU plugin force-selects its platform at startup, which
+    # beats the JAX_PLATFORMS env var (same override as conftest.py)
+    _jax.config.update("jax_platforms", "cpu")
+    which = _sys.argv[1] if len(_sys.argv) > 1 else ""
+    if which == "single_walk":
+        _octet_single_walk_parity()
+    elif which == "alpha_masks":
+        _octet_alpha_masks_parity()
+    else:
+        raise SystemExit(f"unknown octet check: {which!r}")
+    print(f"octet {which} parity OK")
