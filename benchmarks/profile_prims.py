@@ -185,6 +185,68 @@ def main():
             return sample_texture_quad(atlas_quad, tex_table, tid, uu, vv)
 
         rec("tex_tap_full", _timed(f_tex, tid, uu, vv, reps=args.reps))
+
+        # hypothesis test: the tap's cost is the UINT8 gather lowering.
+        # Same bytes as (QH*QW, 16) u8 but packed 4 bytes/lane into an
+        # i32 (QH*QW, 4) table: gather rides the same path as the f32
+        # row tables, bytes unpacked with vector shifts afterwards.
+        q32 = jax.device_put(
+            jnp.asarray(np.frombuffer(
+                np.asarray(jax.device_get(atlas_quad)).tobytes(),
+                dtype="<u4").reshape(-1, 4).astype(np.int64)
+                .astype(np.uint32).view(np.int32)))
+        idx_q = jax.device_put(jnp.asarray(
+            rng.integers(0, 512 * 512, n, dtype=np.int32)))
+
+        @jax.jit
+        def f_tex32(idx):
+            row = q32[idx]                       # (n, 4) i32
+            b = [(jax.lax.shift_right_logical(row, jnp.int32(8 * k))
+                  & jnp.int32(0xFF)).astype(jnp.float32) for k in range(4)]
+            return sum(bb * (1.0 / 255.0) for bb in b)
+
+        rec("tex_tap_i32packed", _timed(f_tex32, idx_q, reps=args.reps))
+
+        # and the plain u8 row gather alone (no wrap math): isolates the
+        # gather from the address arithmetic
+        flat_u8 = atlas_quad.reshape(-1, 16)
+
+        @jax.jit
+        def f_u8gather(idx):
+            return flat_u8[idx]
+
+        rec("tex_u8_rowgather_only", _timed(f_u8gather, idx_q,
+                                            reps=args.reps))
+
+        # closure-vs-argument: identical gathers with the table passed
+        # as a jit ARGUMENT (f_u8gather/f_tex32 above capture it as a
+        # closure constant, like profile_machinery's pricing jits did)
+        @jax.jit
+        def f_u8gather_arg(tab, idx):
+            return tab[idx]
+
+        rec("tex_u8_rowgather_arg", _timed(f_u8gather_arg, flat_u8, idx_q,
+                                           reps=args.reps))
+
+        @jax.jit
+        def f_i32gather_arg(tab, idx):
+            return tab[idx]
+
+        rec("tex_i32_rowgather_arg", _timed(f_i32gather_arg, q32, idx_q,
+                                            reps=args.reps))
+
+        # row-width sweep on ARGUMENT f32 tables: does narrow-row
+        # gathering fall off the fast path?
+        for w2 in (1, 2, 4, 8, 16):
+            tw = jax.device_put(jnp.asarray(
+                rng.random((512 * 512, w2), np.float32)))
+
+            @jax.jit
+            def f_w(tab, idx):
+                return tab[idx]
+
+            rec(f"gather_f32_{w2}w_arg", _timed(f_w, tw, idx_q,
+                                                reps=args.reps))
     except Exception as e:  # pragma: no cover - layout drift
         print(f"tex_tap skipped: {e}")
 
