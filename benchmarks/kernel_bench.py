@@ -61,6 +61,9 @@ def main():
     ap.add_argument("--near", type=float, default=0.0,
                     help="also time a two-pass distance-bounded closest "
                          "trace with r0 = NEAR * scene_diag (e.g. 0.1)")
+    ap.add_argument("--stepcost", type=int, default=0,
+                    help="run the intra-step phase-cost decomposition at "
+                         "this many steps per packet (e.g. 256)")
     ap.add_argument("--nosort", action="store_true",
                     help="also time the incoherent workload UNSORTED "
                          "(integrator-without-pre-sort scenario)")
@@ -247,6 +250,69 @@ def main():
         results["near2_prim_agree"] = agree
         print(f"near2: r0={r0:.2f} miss_frac={float(nmiss)/n:.3f} "
               f"overflow={overflow} prim_agree={agree:.4f}")
+
+    if args.stepcost:
+        # intra-step phase attribution (pallas_wide.stepcost_packets):
+        # fixed K steps per packet, one phase toggled off per config;
+        # config deltas / (K x packets) = per-step phase cost
+        from tpurt.kernels.pallas_wide import _SUB, stepcost_packets
+        from tpurt.kernels.pallas_wide import _layout as _wide_layout
+
+        K = args.stepcost
+        octants, *rays_l, _n = _wide_layout(
+            kbvh, obs, dbs, t_min, jnp.full(n, cfg.t_max), active)
+        n_pk = n // 1024
+
+        def run_cfg(**toggles):
+            def f():
+                t, p, b = stepcost_packets(
+                    octants, kbvh.node_rows, kbvh.tri_rows, *rays_l,
+                    group=kbvh.tribvh.group_size, steps=K,
+                    arity=kbvh.arity, **toggles)
+                return t
+            return _timed(f, args.reps)
+
+        cfgs = [
+            ("full", {}),
+            ("-leaf", dict(do_leaf=False)),
+            ("-push", dict(do_leaf=False, do_push=False)),
+            ("-extract", dict(do_leaf=False, do_push=False,
+                              do_extract=False)),
+            ("-collapse", dict(do_leaf=False, do_push=False,
+                               do_extract=False, do_collapse=False)),
+            ("-box", dict(do_leaf=False, do_push=False, do_extract=False,
+                          do_collapse=False, do_box=False)),
+        ]
+        times = {}
+        for name, kw in cfgs:
+            dt = run_cfg(**kw)
+            times[name] = dt
+            per_step = dt / (K * n_pk) * 1e9
+            print(f"stepcost {name:10s}: {dt*1e3:8.2f} ms "
+                  f"({per_step:7.1f} ns/step)", flush=True)
+            results[f"stepcost_{name}_ms"] = dt * 1e3
+        # collapse-implementation race (full step with only the collapse
+        # lowering changed): 0=10 dependent rolls, 2=7 rolls + 8 scalar
+        # lane reads, 4=slice-OR ladder, 5=read-only cost floor
+        for mode in (5, 6, 7):
+            dt = run_cfg(collapse_mode=mode)
+            per_step = dt / (K * n_pk) * 1e9
+            delta = (times["full"] - dt) / (K * n_pk) * 1e9
+            print(f"stepcost collapse_mode={mode}: {dt*1e3:8.2f} ms "
+                  f"({per_step:7.1f} ns/step, {delta:+7.1f} vs rolls)",
+                  flush=True)
+            results[f"stepcost_collapse{mode}_ms"] = dt * 1e3
+        order = [n for n, _ in cfgs]
+        print("phase costs (ns/step):")
+        for a, b, phase in zip(order[:-1], order[1:],
+                               ("leaf", "push", "extract", "collapse",
+                                "box")):
+            dns = (times[a] - times[b]) / (K * n_pk) * 1e9
+            print(f"  {phase:9s} {dns:7.1f}")
+            results[f"stepcost_{phase}_ns"] = dns
+        base = times["-box"] / (K * n_pk) * 1e9
+        print(f"  loop+pop  {base:7.1f}")
+        results["stepcost_looppop_ns"] = base
 
     # 3) occlusion, distance-bounded (NEE light rays toward light 0)
     lc = jnp.asarray(lights[2].position)

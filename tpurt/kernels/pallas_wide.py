@@ -480,7 +480,7 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                  gate: bool, unroll: int, dual: bool = False,
                  pair: bool = False, arity: int = ARITY,
                  no_tmin: bool = False, descend: bool = False,
-                 cell_masks: bool = False):
+                 cell_masks: bool = False, sumcol: bool = True):
     """Stack-based 8-ary packet traversal (closest-hit or occlusion).
 
     Stack entries: wide node id (>= 0) or -(leaf id + 1). Slot hits of a
@@ -577,8 +577,19 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         def blane(i):
             return row[i]
 
-        # pack per-slot packet hits as bits of ONE i32 vector
-        hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
+        # per-slot packet hits -> one scalar hitmask. Two collapse
+        # lowerings (stepcost-raced, docs/PERFORMANCE.md round 4):
+        #   sumcol: slots packed 2-per-f32 accumulator at 2^12 spacing
+        #     (per-slot counts <= 1024 keep every add exact in the f32
+        #     mantissa: max 1024 + 4096*1024 < 2^23), collapsed with
+        #     arity/2 native sum-reduces + scalar decode — ~140 ns/step.
+        #   rolls: bit-packed i32 + 10 dependent OR-rotations — ~680
+        #     ns/step, the dominant phase of the round-3 kernel.
+        if sumcol:
+            accs = [jnp.zeros((_SUB, _LANE), jnp.float32)
+                    for _ in range(arity // 2)]
+        else:
+            hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
         for s in range(arity):
             b = s * 6
             t0x = (blane(_BOX0 + b + 0) - ox) * inv_x
@@ -594,18 +605,35 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                                          jnp.maximum(t0y, t1y)),
                              jnp.minimum(jnp.maximum(t0z, t1z), t_best))
             hit_s = (tn <= tf) & active
-            hitbits = hitbits | jnp.where(hit_s, jnp.int32(1 << s),
-                                          jnp.int32(0))
-        # collapse to one scalar 8-bit hitmask with log2 OR-rotations
-        # (ONE vector->scalar transfer, like the binary kernel)
-        for shift in (4, 2, 1):
-            hitbits = hitbits | pltpu.roll(hitbits, shift, 0)
-        for shift in (64, 32, 16, 8, 4, 2, 1):
-            hitbits = hitbits | pltpu.roll(hitbits, shift, 1)
-        if is_node is None:
-            mask_scalar = hitbits[0, 0]
+            if sumcol:
+                scale = jnp.float32(1.0 if s % 2 == 0 else 4096.0)
+                accs[s // 2] = accs[s // 2] + jnp.where(hit_s, scale, 0.0)
+            else:
+                hitbits = hitbits | jnp.where(hit_s, jnp.int32(1 << s),
+                                              jnp.int32(0))
+        if sumcol:
+            mask_scalar = jnp.int32(0)
+            for h in range(arity // 2):
+                t = jnp.sum(accs[h])
+                hi = jnp.floor(t * jnp.float32(1.0 / 4096.0))
+                lo = t - hi * 4096.0
+                mask_scalar = mask_scalar | jnp.where(
+                    lo > 0.0, jnp.int32(1 << (2 * h)), jnp.int32(0))
+                mask_scalar = mask_scalar | jnp.where(
+                    hi > 0.0, jnp.int32(1 << (2 * h + 1)), jnp.int32(0))
+            if is_node is not None:
+                mask_scalar = jnp.where(is_node, mask_scalar, jnp.int32(0))
         else:
-            mask_scalar = jnp.where(is_node, hitbits[0, 0], jnp.int32(0))
+            # collapse to one scalar hitmask with log2 OR-rotations
+            for shift in (4, 2, 1):
+                hitbits = hitbits | pltpu.roll(hitbits, shift, 0)
+            for shift in (64, 32, 16, 8, 4, 2, 1):
+                hitbits = hitbits | pltpu.roll(hitbits, shift, 1)
+            if is_node is None:
+                mask_scalar = hitbits[0, 0]
+            else:
+                mask_scalar = jnp.where(is_node, hitbits[0, 0],
+                                        jnp.int32(0))
 
         if bf16:
             kinds = [row[_BKIND0 + s].astype(jnp.int32) for s in range(8)]
@@ -1136,6 +1164,235 @@ def _octet_kernel(oct_ref, nb_ref, tr_ref,
     blk_ref[:] = out[walks + 2]
 
 
+def _stepcost_kernel(oct_ref, nb_ref, tr_ref,
+                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                     tmin_ref, tlim_ref,
+                     t_ref, prim_ref, blk_ref,
+                     stack_ref,
+                     *, group: int, use_masks: bool, use_opaque: bool,
+                     arity: int, steps: int, unroll: int,
+                     do_box: bool, do_collapse: bool, do_extract: bool,
+                     do_push: bool, do_leaf: bool, collapse_mode: int = 0):
+    """Instrumented traversal step for intra-step cost attribution.
+
+    Runs EXACTLY `steps` predicated steps per packet (the stack restarts
+    from the root whenever it empties, so the node/leaf mix stays
+    realistic) with each phase of the production step independently
+    toggled:
+      do_box      16-slot slab tests (the node vector phase)
+      do_collapse hitbit roll-OR collapse + the vector->scalar read
+      do_extract  the 2*arity scalar lane reads of kinds/links
+      do_push     the SMEM far-first push block
+      do_leaf     G Moller-Trumbore tests (the leaf vector phase)
+    Disabled phases are replaced by constants; live phases feed scalar/
+    vector accumulators carried to the output so Mosaic cannot DCE them.
+    Timing configs differ ONLY in the toggled phase, so config deltas
+    divided by (steps x packets) give per-step phase costs — measured
+    end-to-end at >=50 ms scale, the only reliable host-timing regime on
+    the tunneled transport (docs/PERFORMANCE.md round 4)."""
+    pid = pl.program_id(0)
+    oct_s = oct_ref[pid]
+    ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
+    dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
+    t_min = jnp.float32(0.0)
+    tiny = jnp.float32(1e-20)
+    inv_x = jnp.where(dx >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dx), tiny)
+    inv_y = jnp.where(dy >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dy), tiny)
+    inv_z = jnp.where(dz >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(dz), tiny)
+    stack_ref[0] = jnp.int32(0)
+    link0, kind0 = 6 * arity, 7 * arity
+
+    def step(carry):
+        sp, t_best, prim, blocked, sacc, bacc = carry
+        # pop; restart from the root on an empty stack (fixed step count)
+        alive = sp > 0
+        sp = jnp.where(alive, sp - 1, jnp.int32(0))
+        entry = jnp.where(alive, stack_ref[jnp.maximum(sp, 0)],
+                          jnp.int32(0))
+        is_node = entry >= 0
+        act = t_best > -1e37
+
+        row = nb_ref[oct_s, jnp.maximum(entry, 0)]
+        if do_box:
+            hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
+            for s in range(arity):
+                b = s * 6
+                t0x = (row[_BOX0 + b + 0] - ox) * inv_x
+                t0y = (row[_BOX0 + b + 1] - oy) * inv_y
+                t0z = (row[_BOX0 + b + 2] - oz) * inv_z
+                t1x = (row[_BOX0 + b + 3] - ox) * inv_x
+                t1y = (row[_BOX0 + b + 4] - oy) * inv_y
+                t1z = (row[_BOX0 + b + 5] - oz) * inv_z
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+                hit_s = (tn <= tf) & act
+                hitbits = hitbits | jnp.where(hit_s, jnp.int32(1 << s),
+                                              jnp.int32(0))
+            bacc = bacc ^ hitbits  # keep the box phase live
+        else:
+            hitbits = bacc  # reuse the carried vector, no box work
+        if do_collapse:
+            if collapse_mode == 2:
+                # fewer rolls + 8 scalar lane reads of the stride-8 ORs
+                hb = hitbits
+                for shift in (4, 2, 1):
+                    hb = hb | pltpu.roll(hb, shift, 0)
+                for shift in (64, 32, 16, 8):
+                    hb = hb | pltpu.roll(hb, shift, 1)
+                m = hb[0, 0]
+                for lane in range(1, 8):
+                    m = m | hb[0, lane]
+                mask_scalar = jnp.where(is_node, m, jnp.int32(0))
+            elif collapse_mode == 4:
+                # slice-OR ladder instead of rolls (halving widths)
+                hb = hitbits
+                for shift in (4, 2, 1):
+                    hb = hb | pltpu.roll(hb, shift, 0)
+                w = _LANE
+                while w > 1:
+                    w //= 2
+                    hb = hb[:, :w] | hb[:, w:2 * w]
+                mask_scalar = jnp.where(is_node, hb[0, 0], jnp.int32(0))
+            elif collapse_mode == 5:
+                # NO reduction at all — one vector->scalar read (cost
+                # floor of any collapse incl. the sync; incorrect walk)
+                mask_scalar = jnp.where(is_node, hitbits[0, 0],
+                                        jnp.int32(0))
+            elif collapse_mode == 6:
+                # ONE native full-array reduce (times Mosaic's reduce
+                # lowering; OR-incorrect walk, timing only)
+                mask_scalar = jnp.where(is_node, jnp.max(hitbits),
+                                        jnp.int32(0))
+            elif collapse_mode == 7:
+                # exact OR via 8 native f32 sum-reduces: slots packed 2
+                # per f32 at 2^12 spacing (counts <= 1024 stay exact in
+                # the 24-bit mantissa), scalar decode rebuilds the mask
+                m = jnp.int32(0)
+                for half in range(arity // 2):
+                    a = (jnp.right_shift(hitbits, 2 * half) & 1)
+                    b = (jnp.right_shift(hitbits, 2 * half + 1) & 1)
+                    v = a.astype(jnp.float32) + b.astype(jnp.float32) * 4096.0
+                    s = jnp.sum(v)
+                    hi = jnp.floor(s * (1.0 / 4096.0))
+                    lo = s - hi * 4096.0
+                    m = m | jnp.where(lo > 0.0, jnp.int32(1 << (2 * half)),
+                                      jnp.int32(0))
+                    m = m | jnp.where(hi > 0.0,
+                                      jnp.int32(1 << (2 * half + 1)),
+                                      jnp.int32(0))
+                mask_scalar = jnp.where(is_node, m, jnp.int32(0))
+            else:
+                hb = hitbits
+                for shift in (4, 2, 1):
+                    hb = hb | pltpu.roll(hb, shift, 0)
+                for shift in (64, 32, 16, 8, 4, 2, 1):
+                    hb = hb | pltpu.roll(hb, shift, 1)
+                mask_scalar = jnp.where(is_node, hb[0, 0], jnp.int32(0))
+        else:
+            mask_scalar = jnp.where(is_node, jnp.int32(0x5), jnp.int32(0))
+        if do_extract:
+            kinds = [row[kind0 + s].astype(jnp.int32) for s in range(arity)]
+            links = [row[link0 + s].astype(jnp.int32) for s in range(arity)]
+            sacc = sacc + kinds[0] + links[arity - 1]  # keep live
+        else:
+            kinds = [jnp.int32(1)] * arity
+            links = [jnp.int32(0)] * arity
+        if do_push:
+            pushes = [((jnp.right_shift(mask_scalar, s) & 1) > 0)
+                      & (kinds[s] > 0) for s in range(arity)]
+            sp_out = sp
+            for s in range(arity):
+                sp_out = sp_out + pushes[s].astype(jnp.int32)
+            sp_out = jnp.minimum(sp_out, jnp.int32(_STACK - arity))
+
+            @pl.when(mask_scalar != 0)
+            def _(sp=sp):
+                for s in range(arity - 1, -1, -1):
+                    child_entry = jnp.where(kinds[s] == 2, -(links[s] + 1),
+                                            links[s])
+                    stack_ref[jnp.minimum(sp, jnp.int32(_STACK - 1))] = \
+                        child_entry
+                    sp = sp + pushes[s].astype(jnp.int32)
+
+            sp = sp_out
+        else:
+            sacc = sacc + mask_scalar  # keep collapse live without push
+        if do_leaf:
+            leaf = jnp.maximum(-entry - 1, 0)
+            lrow = tr_ref[leaf]
+            lactive = act & jnp.logical_not(is_node)
+            for k in range(group):
+                t_best, prim, hit, _ = _tri_test(
+                    lrow, k, t_min, t_best, prim, leaf, lactive,
+                    ox, oy, oz, dx, dy, dz, group, use_masks, use_opaque,
+                    apply_cell_masks=False)
+        return sp, t_best, prim, blocked, sacc, bacc
+
+    def body(i, carry):
+        for _ in range(unroll):
+            carry = step(carry)
+        return carry
+
+    init = (jnp.int32(1), tlim_ref[:, :],
+            jnp.full((_SUB, _LANE), -1, jnp.int32),
+            jnp.zeros((_SUB, _LANE), jnp.float32),
+            jnp.int32(0), jnp.zeros((_SUB, _LANE), jnp.int32))
+    out = jax.lax.fori_loop(0, steps // unroll, body, init)
+    t_ref[:] = out[1]
+    prim_ref[:] = out[2] + out[4]  # fold the scalar accumulator in
+    blk_ref[:] = out[3] + out[5].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "group", "steps", "unroll", "arity", "do_box", "do_collapse",
+    "do_extract", "do_push", "do_leaf", "collapse_mode", "interpret"))
+def stepcost_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
+                     tmin, tlim, *, group, steps=256, unroll=_UNROLL,
+                     arity=ARITY, do_box=True, do_collapse=True,
+                     do_extract=True, do_push=True, do_leaf=True,
+                     collapse_mode=0, interpret=False):
+    """pallas_call wrapper for the step-cost kernel (requires resident
+    tables; see _stepcost_kernel)."""
+    n_packets = ox.shape[0] // _SUB
+    ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p, oct_ref: (p, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_packets,),
+        in_specs=[full, full] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 3,
+        scratch_shapes=[pltpu.SMEM((_STACK,), jnp.int32)],
+    )
+    kernel = functools.partial(
+        _stepcost_kernel, group=group,
+        use_masks=tri_rows.shape[1] >= group * 11,
+        use_opaque=tri_rows.shape[1] == group * 12,
+        arity=arity, steps=steps, unroll=unroll, do_box=do_box,
+        do_collapse=do_collapse, do_extract=do_extract, do_push=do_push,
+        do_leaf=do_leaf, collapse_mode=collapse_mode)
+    out_shape = [
+        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(ox.shape, jnp.int32),
+        jax.ShapeDtypeStruct(ox.shape, jnp.float32),
+    ]
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=118 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        **params,
+    )(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz, tmin, tlim)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "group", "occlusion", "all_definite", "walks", "unroll", "arity",
     "no_tmin", "cell_masks", "interpret"))
@@ -1202,12 +1459,13 @@ def _octet_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
 
 @functools.partial(jax.jit, static_argnames=(
     "group", "occlusion", "all_definite", "gate", "unroll", "dual",
-    "pair", "arity", "no_tmin", "descend", "cell_masks", "interpret"))
+    "pair", "arity", "no_tmin", "descend", "cell_masks", "sumcol",
+    "interpret"))
 def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                   tmin, tlim, *, group, occlusion, all_definite,
                   gate=False, unroll=_UNROLL, dual=False, pair=False,
                   arity=ARITY, no_tmin=False, descend=False,
-                  cell_masks=False, interpret=False):
+                  cell_masks=False, sumcol=True, interpret=False):
     n_packets = ox.shape[0] // _SUB
     w = node_rows.shape[1]
     sub = 2 * _SUB if pair else _SUB
@@ -1257,7 +1515,7 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                                resident=resident, gate=gate, unroll=unroll,
                                dual=dual, pair=pair, arity=arity,
                                no_tmin=no_tmin, descend=descend,
-                               cell_masks=cell_masks)
+                               cell_masks=cell_masks, sumcol=sumcol)
     out_shape = [
         jax.ShapeDtypeStruct(ox.shape, jnp.float32),
         jax.ShapeDtypeStruct(ox.shape, jnp.int32),
@@ -1338,7 +1596,8 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
                      need_uv: bool = True, unroll: int = _UNROLL,
                      dual: bool = False, pair: bool = False,
                      no_tmin: bool = False, descend: bool = False,
-                     cell_masks: bool = False, octet: int = 0):
+                     cell_masks: bool = False, octet: int = 0,
+                     sumcol: bool = True):
     """Closest-hit via the wide kernel (same contract as
     pallas_traverse.traverse_packets). `gate=True` selects the
     cond-gated step structure — 1.43x faster for sorted incoherent
@@ -1375,7 +1634,7 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
             group=tribvh.group_size, occlusion=False, all_definite=False,
             gate=gate, unroll=unroll, dual=dual, pair=pair,
             arity=kbvh.arity, no_tmin=no_tmin, descend=descend,
-            cell_masks=cell_masks, interpret=interpret)
+            cell_masks=cell_masks, sumcol=sumcol, interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
     if need_uv:
@@ -1393,7 +1652,8 @@ def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
                       need_uv: bool = True, unroll: int = _UNROLL,
                       dual: bool = False, pair: bool = False,
                       gate: bool = False, no_tmin: bool = False,
-                      descend: bool = False, octet: int = 0):
+                      descend: bool = False, octet: int = 0,
+                      sumcol: bool = True):
     """Occlusion query via the wide kernel (same contract as
     pallas_traverse.occlusion_packets). need_uv as in traverse_packets;
     `gate` as in the closest wrapper (cond-gated step — measure per ray
@@ -1414,7 +1674,7 @@ def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
             group=tribvh.group_size, occlusion=True,
             all_definite=not scene_has_alpha, unroll=unroll, dual=dual,
             pair=pair, arity=kbvh.arity, gate=gate, no_tmin=no_tmin,
-            descend=descend, interpret=interpret)
+            descend=descend, sumcol=sumcol, interpret=interpret)
     blocked = blocked.reshape(-1)[:n] > 0.0
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
