@@ -3,27 +3,42 @@
 Prints JSON lines {"metric", "value", "unit", "vs_baseline"}; the LAST
 line is the headline result. Baseline target: >100 Mrays/sec/chip on
 Sponza 1080p @ TPU v5e (BASELINE.json / BASELINE.md); vs_baseline =
-value / 100.
+value / 100. The record also carries the other two north-star metrics:
+projected time_to_1024spp_s (same timer semantics as the reference's
+convergence printf, /root/reference/src/Raytracer.cpp:247-253) and
+rmse_vs_golden (a 64x48 on-device render of the Box golden config vs
+the checked-in CPU golden).
 
-Budget-proofing (the round-3 bench recorded NOTHING because the driver's
-wall clock expired during cold compile — BENCH_r03.json rc=124): this
-harness can no longer finish with zero data. Parity anchor: the
-reference's one built-in metric prints unconditionally when reached
-(/root/reference/src/Raytracer.cpp:247-253); ours must be at least as
-unkillable.
+Budget-proofing history (this harness can no longer finish with zero
+data; the reference's one built-in metric prints unconditionally when
+reached, Raytracer.cpp:247-253, and ours must be at least as unkillable):
 
-- A watchdog thread holds a best-so-far JSON record from the moment the
-  process starts and prints it + exits 0 when the internal deadline
-  (BENCH_DEADLINE_S, default 900 s) expires — even if the main thread is
-  stuck inside an uninterruptible C call (hung tunnel launch).
+- r03: the driver's wall clock expired during cold compile; the old
+  bench printed JSON only at the very end -> rc=124, parsed null.
+- r04: the watchdog worked but the DRIVER environment was cold-
+  everything (fresh clone: no scene cache, no XLA cache, native lib
+  unbuilt, slower box) — 534 s of scene+BVH + a cold remote compile ate
+  the 900 s internal deadline before the first warmup band completed ->
+  value 0.0.
+- r05 fixes the r04 mode at the root: benchmarks/warmstart/ ships the
+  COMMITTED scene-cache artifact and XLA persistent-cache entries for
+  exactly this bench path (the analogue of the reference shipping
+  SPIR-V compiled at build time, CMakeLists.txt:40-53), so a fresh
+  clone starts warm. Every phase logs a timestamp + cache HIT/MISS to
+  stderr so any future failure is diagnosable from the artifact, and
+  the WARMUP band itself is timed and recorded as a provisional
+  compile-inclusive value the moment it completes.
+
+Mechanics kept from r04:
+- A watchdog thread prints the best-so-far JSON record + exits 0 at the
+  internal deadline (BENCH_DEADLINE_S, default 900 s) even if the main
+  thread is stuck in an uninterruptible tunnel call.
 - The frame renders in 5 IDENTICAL 216-row bands (216 divides 1080; a
-  216x1920 band tiles as 8x128 packets), so there is exactly ONE XLA
-  compile — the round-3 killer was a second cold compile for the 56-row
-  remainder band of the old 256-row chunking.
-- A provisional JSON line prints as soon as the FIRST timed band
-  completes; every later band/sample updates it; the final line
-  supersedes it (the driver parses the last JSON line).
-- The TPU probe gets 120 s, not 600.
+  216x1920 band tiles as 8x128 packets) => exactly ONE XLA compile.
+- A provisional JSON line prints as soon as any timed unit completes;
+  the final line supersedes it (the driver parses the last JSON line).
+- The TPU probe gets 120 s in a subprocess, falling back to a CPU smoke
+  config instead of hanging.
 """
 
 import json
@@ -37,11 +52,17 @@ import numpy as np
 
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "900"))
 _T0 = time.perf_counter()
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 # band rows: must divide 1080 and tile into packet rectangles
 # (wavefront.tile_shape: 216 rows x 1920 -> 8x128 tiles). ONE shape for
 # all 5 bands = one compile.
 BAND_ROWS = int(os.environ.get("BENCH_BAND_ROWS", "216"))
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] t={time.perf_counter() - _T0:6.1f}s {msg}",
+          file=sys.stderr, flush=True)
 
 
 class _Best:
@@ -64,6 +85,10 @@ class _Best:
         with self.lock:
             self.record = record
 
+    def merge(self, **kv):
+        with self.lock:
+            self.record.update(kv)
+
     def emit(self, final=False):
         with self.lock:
             rec = dict(self.record)
@@ -81,8 +106,7 @@ def _watchdog():
     remaining = DEADLINE_S - (time.perf_counter() - _T0)
     if remaining > 0:
         time.sleep(remaining)
-    print(f"[bench] internal deadline {DEADLINE_S:.0f}s hit; emitting "
-          "best-so-far result", file=sys.stderr, flush=True)
+    _log(f"internal deadline {DEADLINE_S:.0f}s hit; emitting best-so-far")
     BEST.emit(final=True)
     os._exit(0)  # the main thread may be stuck in an uninterruptible call
 
@@ -112,6 +136,22 @@ def _probe_tpu(timeout_s: float = 120.0) -> bool:
         return False
 
 
+def _use_warmstart() -> bool:
+    """Point BOTH caches at the committed benchmarks/warmstart/ bundle
+    (scene-cache .npz + XLA persistent-cache entries for exactly this
+    bench path) unless the user overrode the dirs or disabled it. The
+    dirs stay writable, so a key miss degrades to a cold build that
+    REFILLS the bundle."""
+    if os.environ.get("BENCH_WARMSTART") == "0":
+        return False
+    ws = os.path.join(_REPO, "benchmarks", "warmstart")
+    os.makedirs(os.path.join(ws, "xla"), exist_ok=True)
+    os.makedirs(os.path.join(ws, "scene"), exist_ok=True)
+    os.environ.setdefault("TPURT_XLA_CACHE_DIR", os.path.join(ws, "xla"))
+    os.environ.setdefault("TPURT_SCENE_CACHE_DIR", os.path.join(ws, "scene"))
+    return True
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     on_tpu = (False if os.environ.get("BENCH_FORCE_CPU") == "1"
@@ -127,9 +167,15 @@ def main():
 
     import jax.numpy as jnp
 
+    warm = _use_warmstart()
     from tpurt.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()  # tunnel compiles are slow; cache them
+    xdir = os.environ.get("TPURT_XLA_CACHE_DIR",
+                          os.path.join(_REPO, ".xla_cache"))
+    n_entries = len(os.listdir(xdir)) if os.path.isdir(xdir) else 0
+    _log(f"probe done (tpu={on_tpu}); warmstart={warm}; "
+         f"xla cache dir {xdir} ({n_entries} entries)")
 
     from tpurt.camera import Camera
     from tpurt.config import RenderConfig, SphereLight
@@ -154,22 +200,36 @@ def main():
         scene_kw = dict(columns=2, foliage=8)
         metric = f"sponza_like_{width}x{height}_mrays_per_sec_cpu"
 
-    print(f"[bench] t={time.perf_counter() - _T0:.1f}s probe done "
-          f"(tpu={on_tpu}); building scene", file=sys.stderr, flush=True)
-
     cfg = RenderConfig(width=width, height=height, max_samples=1024,
                        chunk_rows=band_rows)
     path = write_sponza_like_scene("/tmp/bench_sponza.gltf", **scene_kw)
+    _log("procedural scene written")
     cam = Camera.from_angles([0.0, -4.0, 0.0], 0.7, -0.1)
     lights = [
         SphereLight((-8.0, -5.0, -2.0), 0.1, (0.8, 0.6, 0.6), 500.0),
         SphereLight((8.0, -5.0, -2.5), 0.1, (0.4, 0.7, 0.6), 500.0),
         SphereLight((0.0, -7.5, 0.0), 0.5, (0.9, 0.9, 0.7), 1000.0),
     ]
+
+    # scene-cache diagnostics BEFORE the build, so a cold driver run is
+    # diagnosable from the artifact (VERDICT r4: the 534 s was opaque)
+    from tpurt.kernels.pallas_wide import ARITY
+    from tpurt.scene import cache as scache
+
+    cdir = scache.default_cache_dir()
+    if cdir:
+        key = scache.scene_cache_key([path], lights, ARITY,
+                                     jax.default_backend())
+        cpath = os.path.join(cdir, key + ".npz")
+        hit = os.path.isfile(cpath)
+        _log(f"scene cache {'HIT' if hit else 'MISS'}: {cpath}")
+    else:
+        _log("scene cache DISABLED (no cache dir)")
+
     r = Renderer.from_gltf(path, config=cfg, camera=cam, lights=lights)
     jax.block_until_ready(r.bvh)
-    print(f"[bench] t={time.perf_counter() - _T0:.1f}s scene+BVH ready; "
-          "compiling/warming one band", file=sys.stderr, flush=True)
+    _log("scene+BVH ready; compiling/warming one band "
+         "(timed, compile-inclusive)")
 
     n_bands = -(-height // band_rows)
 
@@ -187,24 +247,16 @@ def main():
             except Exception as e:  # noqa: BLE001 — filtered below
                 if not _is_launch_failure(e) or attempt == 3:
                     raise
-                print(f"[bench] band launch failed ({type(e).__name__}: "
-                      f"{str(e)[:120]}); retry {attempt + 1}",
-                      file=sys.stderr, flush=True)
+                _log(f"band launch failed ({type(e).__name__}: "
+                     f"{str(e)[:120]}); retry {attempt + 1}")
                 time.sleep(10.0)
 
-    # ---- warmup: compile + execute the single band shape -----------------
-    run_band(0, 0, min(band_rows, height))
-    print(f"[bench] t={time.perf_counter() - _T0:.1f}s warmup done; timing",
-          file=sys.stderr, flush=True)
-
-    # ---- timed: band-by-band, best-so-far updated after EVERY band -------
-    secs = 0.0
-    physical = 0.0
-    logical = 0.0
-    done_samples = 0
-
-    def record(note=None):
+    def mk_record(physical, logical, secs, bands, samples_done, note=None):
         mrays = physical / secs / 1e6 if secs > 0 else 0.0
+        # time-to-1024spp projection, reference timer semantics
+        # (Raytracer.cpp:247-253: wall time for 1024 accumulated 1-spp
+        # frames at full resolution)
+        s_per_sample = secs / bands * n_bands if bands else None
         rec = {
             "metric": metric,
             "value": round(mrays, 3),
@@ -215,14 +267,36 @@ def main():
             "mrays_per_sec_logical": round(logical / secs / 1e6, 3)
             if secs > 0 else 0.0,
             "seconds": round(secs, 3),
-            "samples_done": done_samples,
-            "bands_timed": secs_bands[0],
+            "samples_done": samples_done,
+            "bands_timed": bands,
+            "time_to_1024spp_s": round(1024.0 * s_per_sample, 1)
+            if s_per_sample else None,
+            "rmse_vs_golden": None,
         }
         if note:
             rec["note"] = note
         return rec
 
-    secs_bands = [0]  # bands timed so far (int in a list for closure)
+    # ---- warmup: compile + execute the single band shape — TIMED, so a
+    # deadline during the timed section still leaves a nonzero honest
+    # record (note marks it compile-inclusive) --------------------------
+    t0 = time.perf_counter()
+    rays_w = run_band(0, 0, min(band_rows, height))
+    dt_w = time.perf_counter() - t0
+    BEST.update(mk_record(float(rays_w[1]), float(rays_w[0]), dt_w, 1, 0,
+                          note="warmup band, includes XLA compile"))
+    BEST.printed_provisional = True
+    BEST.emit()
+    _log(f"warmup done in {dt_w:.1f}s "
+         f"({float(rays_w[1]) / dt_w / 1e6:.3f} Mrays/s compile-inclusive); "
+         "timing")
+
+    # ---- timed: band-by-band, best-so-far updated after EVERY band -------
+    secs = 0.0
+    physical = 0.0
+    logical = 0.0
+    done_samples = 0
+    bands = 0
     for s in range(1, samples + 1):
         for row in range(0, height, band_rows):
             rows = min(band_rows, height - row)
@@ -231,31 +305,69 @@ def main():
             secs += time.perf_counter() - t0
             physical += float(rays[1])
             logical += float(rays[0])
-            secs_bands[0] += 1
-            BEST.update(record(note=f"partial: {secs_bands[0]} bands"))
-            if not BEST.printed_provisional:
-                BEST.printed_provisional = True
-                BEST.emit()  # provisional line: a kill now still finds JSON
+            bands += 1
+            BEST.update(mk_record(physical, logical, secs, bands,
+                                  done_samples,
+                                  note=f"partial: {bands} bands"))
             # keep a margin for the final print + interpreter teardown
             if _remaining() < 20.0:
-                print("[bench] deadline margin reached; stopping early",
-                      file=sys.stderr, flush=True)
+                _log("deadline margin reached; stopping early")
                 BEST.emit(final=True)
                 return
         done_samples = s
-        BEST.update(record())
-        print(f"[bench] t={time.perf_counter() - _T0:.1f}s sample {s} done: "
-              f"{physical / 1e6:.1f} Mrays physical in {secs:.2f}s "
-              f"({physical / secs / 1e6:.3f} Mrays/s)",
-              file=sys.stderr, flush=True)
+        BEST.update(mk_record(physical, logical, secs, bands, done_samples))
+        _log(f"sample {s} done: {physical / 1e6:.1f} Mrays physical in "
+             f"{secs:.2f}s ({physical / secs / 1e6:.3f} Mrays/s)")
         # stop adding samples when less than ~1.3x one sample's cost remains
         if s < samples and _remaining() < 1.3 * secs / s + 30.0:
-            print("[bench] not enough budget for another sample; stopping",
-                  file=sys.stderr, flush=True)
+            _log("not enough budget for another sample; stopping")
             break
 
-    BEST.update(record())
+    BEST.update(mk_record(physical, logical, secs, bands, done_samples))
+    BEST.emit()  # provisional with the final throughput, before the golden
+
+    # ---- third north-star metric: RMSE vs the checked-in Box golden ------
+    # (the per-pixel-RMSE-vs-reference stand-in measurable in this
+    # environment: same scene/seed/camera as tests/test_goldens.py, CPU
+    # golden, on-device render). Skipped when the budget is tight: it
+    # must never endanger the headline number.
+    if _remaining() > 120.0:
+        try:
+            t0 = time.perf_counter()
+            rmse = _golden_rmse()
+            BEST.merge(rmse_vs_golden=round(rmse, 5))
+            _log(f"golden rmse={rmse:.5f} in {time.perf_counter() - t0:.1f}s")
+        except Exception as e:  # noqa: BLE001 — diagnostic metric only
+            _log(f"golden rmse failed: {type(e).__name__}: {str(e)[:160]}")
+    else:
+        _log("skipping golden rmse (budget)")
+
     BEST.emit(final=True)
+
+
+def _golden_rmse() -> float:
+    """Render the Box golden config on-device (64x48 @ 8spp, fixed seed)
+    and return per-pixel RMSE vs the checked-in CPU golden
+    (tests/goldens/box_64x48_8spp.npz). Expected ~1e-3-1e-2: same
+    estimator, different backend numerics."""
+    import numpy as np
+
+    from tpurt import film
+    from tpurt.camera import Camera
+    from tpurt.config import RenderConfig, SphereLight
+    from tpurt.renderer import Renderer
+    from tpurt.scene.procedural import write_box_scene
+
+    golden = np.load(os.path.join(_REPO, "tests", "goldens",
+                                  "box_64x48_8spp.npz"))["accum"]
+    path = write_box_scene("/tmp/bench_box.gltf")
+    cam = Camera.from_angles([1.5, 1.2, 2.0],
+                             float(np.arctan2(-1.5, -2.0)), -0.45)
+    r = Renderer.from_gltf(
+        path, config=RenderConfig(width=64, height=48, max_samples=8),
+        camera=cam,
+        lights=[SphereLight((2.0, 2.0, 2.0), 0.3, (1.0, 0.9, 0.8), 50.0)])
+    return float(film.rmse(np.asarray(r.render(8)), golden))
 
 
 if __name__ == "__main__":

@@ -292,8 +292,12 @@ def main():
                   f"({per_step:7.1f} ns/step)", flush=True)
             results[f"stepcost_{name}_ms"] = dt * 1e3
         # collapse-implementation race (full step with only the collapse
-        # lowering changed): 0=10 dependent rolls, 2=7 rolls + 8 scalar
-        # lane reads, 4=slice-OR ladder, 5=read-only cost floor
+        # lowering changed). Raced modes: 5=read-only cost floor (no
+        # collapse at all), 6=native cross-lane max-reduce, 7=f32
+        # sum-pack (2 slots/accumulator; the production `sumcol`
+        # lowering). Implemented-but-not-raced fallbacks kept for
+        # reference: 0=10 dependent OR-rolls (production until round 4),
+        # 2=7 rolls + 8 scalar lane reads, 4=slice-OR ladder.
         for mode in (5, 6, 7):
             dt = run_cfg(collapse_mode=mode)
             per_step = dt / (K * n_pk) * 1e9

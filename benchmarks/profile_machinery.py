@@ -152,11 +152,10 @@ def main():
     _, t_ch = _timed(p_closest_only, o, d, active)
 
     # kernel floor: pre-sorted rays, no unsort (need_uv=False). Step
-    # variant derived from the SAME traverse-module flags closest_hit
+    # variant derived from the SAME cfg.kernel policy closest_hit
     # dispatches with, so flag flips can't skew the attribution
     # (ADVICE r3). Wide kernel only: on the XLA-fallback path (CPU /
     # oversized scene) the floor equals the dispatcher row.
-    from tpurt.bvh import traverse as TR
     from tpurt.kernels.pallas_wide import WideKernelBVH
 
     is_wide = isinstance(bvh, WideKernelBVH)
@@ -169,14 +168,16 @@ def main():
     jax.block_until_ready(op)
 
     if is_wide:
+        pol = cfg.kernel
+
         @jax.jit
         def p_kernel_only(op, dp, ap):
             return pallas_wide.traverse_packets(
                 bvh, op, dp, zeros, cfg.t_max, ap, need_uv=False,
-                gate=inc and not TR.WIDE_PAIR_CLOSEST,
-                pair=TR.WIDE_PAIR_CLOSEST, dual=TR.WIDE_DUAL_CLOSEST,
-                descend=TR.WIDE_DESCEND_CLOSEST
-                and not (TR.WIDE_PAIR_CLOSEST or TR.WIDE_DUAL_CLOSEST),
+                gate=inc and not pol.pair_closest,
+                pair=pol.pair_closest, dual=pol.dual_closest,
+                descend=pol.descend_closest
+                and not (pol.pair_closest or pol.dual_closest),
                 no_tmin=True)
 
         _, t_k = _timed(p_kernel_only, op, dp, ap)
@@ -225,15 +226,17 @@ def main():
     jax.block_until_ready(op2)
 
     if is_wide:
+        pol = cfg.kernel
+
         @jax.jit
         def p_okernel_only(op, dp, tl, ap):
             return pallas_wide.occlusion_packets(
                 bvh, op, dp, zeros, tl, ap, has_alpha, need_uv=False,
-                pair=TR.WIDE_PAIR_OCCLUSION, dual=TR.WIDE_DUAL_OCCLUSION,
-                gate=not TR.WIDE_PAIR_OCCLUSION
-                and not TR.WIDE_DUAL_OCCLUSION,
-                descend=TR.WIDE_DESCEND_OCCLUSION
-                and not (TR.WIDE_PAIR_OCCLUSION or TR.WIDE_DUAL_OCCLUSION),
+                pair=pol.pair_occlusion, dual=pol.dual_occlusion,
+                gate=not pol.pair_occlusion
+                and not pol.dual_occlusion,
+                descend=pol.descend_occlusion
+                and not (pol.pair_occlusion or pol.dual_occlusion),
                 no_tmin=True)
 
         _, t_ok = _timed(p_okernel_only, op2, dp2, tl2, ap2)

@@ -170,7 +170,7 @@ def main():
             break
         inc = w > 0
         hit, t_tr = _timed(p_trace, o, d, active, w > 0,
-                           bool(w) or W.SORT_WAVE0, inc)
+                           bool(w) or cfg.kernel.sort_wave0, inc)
         is_tri = active & (hit.kind == KIND_TRIANGLE)
         if w == 0:
             sky = jnp.asarray(cfg.sky_color, jnp.float32)

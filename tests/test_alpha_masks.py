@@ -208,16 +208,17 @@ def test_cell_masks_closest_trace_parity(tmp_path):
     act = jnp.ones(n, bool)
     zeros = jnp.zeros(n)
 
-    old = TR.WIDE_CELL_MASKS_CLOSEST
-    try:
-        TR.WIDE_CELL_MASKS_CLOSEST = False
-        h_host = _trace(dev, kb, o, d, zeros, act, False, cfg, True,
-                        sort_rays=False, interpret=True)
-        TR.WIDE_CELL_MASKS_CLOSEST = True
-        h_kern = _trace(dev, kb, o, d, zeros, act, False, cfg, True,
-                        sort_rays=False, interpret=True)
-    finally:
-        TR.WIDE_CELL_MASKS_CLOSEST = old
+    import dataclasses
+
+    cfg_host = dataclasses.replace(
+        cfg, kernel=dataclasses.replace(cfg.kernel,
+                                        cell_masks_closest=False))
+    cfg_kern = dataclasses.replace(
+        cfg, kernel=dataclasses.replace(cfg.kernel, cell_masks_closest=True))
+    h_host = _trace(dev, kb, o, d, zeros, act, False, cfg_host, True,
+                    sort_rays=False, interpret=True)
+    h_kern = _trace(dev, kb, o, d, zeros, act, False, cfg_kern, True,
+                    sort_rays=False, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(h_host.kind),
                                   np.asarray(h_kern.kind))

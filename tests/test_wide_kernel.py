@@ -601,3 +601,59 @@ if __name__ == "__main__":
     else:
         raise SystemExit(f"unknown octet check: {which!r}")
     print(f"octet {which} parity OK")
+
+
+def test_sumcol_matches_rolls_collapse():
+    """The two hit-mask collapse lowerings (sumcol f32 sum-pack vs the
+    bit-rotate fallback) must agree bit-for-bit: same committed t/prim
+    for closest and same blocked set for occlusion on a scene dense
+    enough that nodes see multiple simultaneous slot hits (ADVICE r4:
+    flipping the default left the rolls path untested and the two
+    lowerings never cross-checked)."""
+    tris = _random_tris(500, seed=11, spread=6.0)  # dense: multi-hit nodes
+    tb = build_triangle_bvh(tris, group_size=4)
+    kb = make_wide_kernel_bvh(tb, tris)
+    n = 1024
+    o, d = _random_rays(n, seed=12, spread=8.0)
+    zeros, act = jnp.zeros(n), jnp.ones(n, bool)
+
+    t_s, p_s, _, _ = traverse_packets(kb, o, d, zeros, 1e9, act,
+                                      sumcol=True, interpret=True)
+    t_r, p_r, _, _ = traverse_packets(kb, o, d, zeros, 1e9, act,
+                                      sumcol=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_r))
+    np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_r))
+
+    tl = jnp.full(n, 4.0, jnp.float32)
+    b_s, *_ = occlusion_packets(kb, o, d, zeros, tl, act, False,
+                                sumcol=True, interpret=True)
+    b_r, *_ = occlusion_packets(kb, o, d, zeros, tl, act, False,
+                                sumcol=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(b_s), np.asarray(b_r))
+
+
+def test_superpacket_matches_single_packet():
+    """sup=2 (2048 rays per program, one shared stack/step chain) must
+    commit exactly the hits of the single-packet kernel: the superpacket
+    only changes how rays are grouped under the scalar chain, never
+    which (node, ray) tests run to conclusion."""
+    tris = _random_tris(400, seed=21, spread=8.0)
+    tb = build_triangle_bvh(tris, group_size=4)
+    kb = make_wide_kernel_bvh(tb, tris)
+    n = 4096  # 4 packets -> 2 superpackets at sup=2
+    o, d = _random_rays(n, seed=22, spread=10.0)
+    zeros, act = jnp.zeros(n), jnp.ones(n, bool)
+
+    t1, p1, _, _ = traverse_packets(kb, o, d, zeros, 1e9, act,
+                                    sup=1, interpret=True)
+    t2, p2, _, _ = traverse_packets(kb, o, d, zeros, 1e9, act,
+                                    sup=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    tl = jnp.full(n, 5.0, jnp.float32)
+    b1, *_ = occlusion_packets(kb, o, d, zeros, tl, act, False,
+                               sup=1, interpret=True)
+    b2, *_ = occlusion_packets(kb, o, d, zeros, tl, act, False,
+                               sup=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))

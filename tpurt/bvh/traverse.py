@@ -45,38 +45,12 @@ from tpurt.kernels.intersect import (
     safe_inv_dir,
 )
 
-# wide-kernel step-variant policy (measured via kernel_bench --dual/--pair;
-# all off = the round-2 production configuration). pair degrades to the
-# single-packet layout on scenes too large for resident tables.
-WIDE_PAIR_CLOSEST = False
-WIDE_DUAL_CLOSEST = False
-WIDE_PAIR_OCCLUSION = False
-WIDE_DUAL_OCCLUSION = False
-# descend-direct step (pallas_wide.step_descend): node steps jump straight
-# into the nearest hit child instead of pushing it and popping it back —
-# zero SMEM stack traffic on single-hit descent chains. Bit-exact; composes
-# with both the gated and predicated step structures (not dual/pair).
-# MEASURED OFF (v5e, 215k tris, 491k rays): coherent 44.4 -> 54.4 ms,
-# incoherent 129.6 -> 136.6, occlusion 38.0 -> 72.0 — the arity-long
-# serial nearest-slot select chain costs more than the push+pop it saves
-# (docs/PERFORMANCE.md round 3).
-WIDE_DESCEND_CLOSEST = False
-WIDE_DESCEND_OCCLUSION = False
-# in-kernel any-hit for CLOSEST traversal (pallas_wide leaf_path
-# cell_masks): decided-transparent candidates are skipped during
-# traversal itself — each skip replaces a whole host-side re-trace
-# relaunch — and the kernel returns a per-ray PENDING bit (committed hit
-# in an undecided cell) that the host recheck consumes directly instead
-# of gathering the (T,) alpha flags. Off = the round-3 formulation
-# (commit every hit, reject + re-trace on the host).
-WIDE_CELL_MASKS_CLOSEST = True
-# multi-walk kernel (pallas_wide._octet_kernel): 0 = off (single-walk
-# production kernel), 2/4/8 = that many independent 1024/N-ray
-# sub-packets per program. Shrinks the per-packet node-visit union for
-# incoherent rays at the cost of N stack managements + hitmask
-# transfers per step; measure per ray class (kernel_bench --octet).
-WIDE_OCTET_CLOSEST = 0
-WIDE_OCTET_OCCLUSION = 0
+# Kernel step-variant policy lives in config.KernelPolicy (SURVEY.md §5:
+# one config surface for every measured knob). closest_hit/occlusion_hit
+# take `policy=`; callers that don't care get the measured production
+# profile. Field semantics + measurement history: config.KernelPolicy
+# docstring and docs/PERFORMANCE.md.
+from tpurt.config import DEFAULT_KERNEL_POLICY, KernelPolicy  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("include_spheres",))
@@ -222,7 +196,7 @@ def intersect_scene(
 def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
                 include_spheres=True, active=None, interpret=False,
                 sort_rays=True, incoherent=False, no_tmin=False,
-                return_pending=False):
+                return_pending=False, policy: KernelPolicy = None):
     """Closest-hit dispatcher: wide Pallas packet kernel when `bvh` is a
     WideKernelBVH (TPU, scene resident in VMEM), batched XLA walk
     otherwise. Production touches exactly ONE kernel family
@@ -238,13 +212,15 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
     pallas_wide._wide_kernel).
 
     `return_pending=True` changes the return to (Hit, pending): with the
-    in-kernel any-hit enabled (WIDE_CELL_MASKS_CLOSEST + a masked kernel
-    BVH), `pending` marks committed triangle hits that still need the
-    host texture tap; everywhere else it is None and the caller must run
-    the full host-side alpha test."""
+    in-kernel any-hit enabled (policy.cell_masks_closest + a masked
+    kernel BVH), `pending` marks committed triangle hits that still need
+    the host texture tap; everywhere else it is None and the caller must
+    run the full host-side alpha test."""
     from tpurt.kernels import pallas_wide
     from tpurt.kernels.pallas_wide import WideKernelBVH
 
+    if policy is None:
+        policy = DEFAULT_KERNEL_POLICY
     if not isinstance(bvh, WideKernelBVH):
         hit = intersect_scene(bvh, tri_pos, lights, o, d, t_min, t_max,
                               include_spheres=include_spheres, active=active)
@@ -252,15 +228,17 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
     # step-variant policy, measured per ray class (kernel_bench):
     # incoherent secondaries keep the cond-gated step; coherent waves
     # take the paired-packet layout when measurements favor it
-    cell_masks = return_pending and WIDE_CELL_MASKS_CLOSEST
+    cell_masks = return_pending and policy.cell_masks_closest
     traverse_packets = partial(
         pallas_wide.traverse_packets,
-        gate=incoherent and not WIDE_PAIR_CLOSEST,
-        pair=WIDE_PAIR_CLOSEST, dual=WIDE_DUAL_CLOSEST,
-        descend=WIDE_DESCEND_CLOSEST
-        and not (WIDE_PAIR_CLOSEST or WIDE_DUAL_CLOSEST),
+        gate=incoherent and not policy.pair_closest,
+        pair=policy.pair_closest, dual=policy.dual_closest,
+        descend=policy.descend_closest
+        and not (policy.pair_closest or policy.dual_closest),
         no_tmin=no_tmin, cell_masks=cell_masks,
-        octet=WIDE_OCTET_CLOSEST)
+        octet=policy.octet_closest, unroll=policy.unroll,
+        sumcol=policy.sumcol, sup=policy.sup_closest,
+        resident_budget=policy.resident_budget)
 
     n = o.shape[0]
     if active is None:
@@ -370,7 +348,7 @@ def _sort_rays(key, cols):
 
 def occlusion_hit(kbvh, o, d, t_min, t_limit, active, scene_has_alpha: bool,
                   sort_rays=True, interpret=False, ray_class=None,
-                  gate=True, no_tmin=False):
+                  gate=True, no_tmin=False, policy: KernelPolicy = None):
     """Occlusion query via the wide packet kernel (WideKernelBVH only;
     the XLA fallback path emulates occlusion with a closest-hit trace in
     the integrator). Returns (blocked (N,) bool, Hit of the closest
@@ -386,16 +364,22 @@ def occlusion_hit(kbvh, o, d, t_min, t_limit, active, scene_has_alpha: bool,
     incoherent closest traces (see benchmarks/profile_shadow2.py)."""
     from tpurt.kernels import pallas_wide
 
+    if policy is None:
+        policy = DEFAULT_KERNEL_POLICY
     occlusion_packets = partial(pallas_wide.occlusion_packets,
-                                pair=WIDE_PAIR_OCCLUSION,
-                                dual=WIDE_DUAL_OCCLUSION,
-                                gate=gate and not WIDE_PAIR_OCCLUSION
-                                and not WIDE_DUAL_OCCLUSION,
-                                descend=WIDE_DESCEND_OCCLUSION
-                                and not (WIDE_PAIR_OCCLUSION
-                                         or WIDE_DUAL_OCCLUSION),
+                                pair=policy.pair_occlusion,
+                                dual=policy.dual_occlusion,
+                                gate=gate and not policy.pair_occlusion
+                                and not policy.dual_occlusion,
+                                descend=policy.descend_occlusion
+                                and not (policy.pair_occlusion
+                                         or policy.dual_occlusion),
                                 no_tmin=no_tmin,
-                                octet=WIDE_OCTET_OCCLUSION)
+                                octet=policy.octet_occlusion,
+                                unroll=policy.unroll,
+                                sumcol=policy.sumcol,
+                                sup=policy.sup_occlusion,
+                                resident_budget=policy.resident_budget)
 
     n = o.shape[0]
     if active is None:

@@ -47,6 +47,61 @@ DEFAULT_SPONZA_LIGHTS = (
 
 
 @dataclasses.dataclass(frozen=True)
+class KernelPolicy:
+    """Measured traversal-kernel policy, promoted from module globals into
+    the one config surface SURVEY.md §5 prescribes. Every field default is
+    the measured production profile (docs/PERFORMANCE.md); reproducing a
+    benchmark configuration needs only a KernelPolicy value, no source
+    edits. Frozen dataclass => hashable => usable as a static jit arg.
+
+    Trace-time fields (consumed per closest/occlusion dispatch):
+    - sort_wave0: octant-morton sort the camera wave (row-major tiles are
+      already coherent; measured off).
+    - sort_retrace: sort alpha re-trace batches (measured off: argsort
+      costs more than the packet coherence it buys on the small batches).
+    - pair_*/dual_*/descend_*: alternative step structures, all measured
+      OFF (docs/PERFORMANCE.md rounds 3-4).
+    - cell_masks_closest: in-kernel decided-cell any-hit for closest
+      traces (measured ON, round 4: alpha machinery 102 -> 73 ms).
+    - octet_*: multi-walk kernel, 0 = off (measured: loses at 2/4/8).
+    - sumcol: f32 sum-pack hit-mask collapse (~140 ns/step) vs the
+      bit-rotate fallback (~680 ns/step).
+    - unroll: traversal steps per while-loop iteration.
+
+    Build-time fields (consumed when packing the wide tables):
+    - arity: wide-node branching factor (16 = full 128-lane rows).
+    - resident_budget_mb: VMEM ceiling for whole-table residency.
+    """
+
+    sort_wave0: bool = False
+    sort_retrace: bool = False
+    pair_closest: bool = False
+    dual_closest: bool = False
+    pair_occlusion: bool = False
+    dual_occlusion: bool = False
+    descend_closest: bool = False
+    descend_occlusion: bool = False
+    cell_masks_closest: bool = True
+    octet_closest: int = 0
+    octet_occlusion: int = 0
+    # superpacket width: sup*1024 rays share one program / one scalar
+    # step chain (pallas_wide._wide_packets `sup`); 1 = off
+    sup_closest: int = 1
+    sup_occlusion: int = 1
+    sumcol: bool = True
+    unroll: int = 4
+    arity: int = 16
+    resident_budget_mb: int = 104
+
+    @property
+    def resident_budget(self) -> int:
+        return self.resident_budget_mb * 2 ** 20
+
+
+DEFAULT_KERNEL_POLICY = KernelPolicy()
+
+
+@dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """All render-time knobs. Field defaults replicate the reference."""
 
@@ -96,6 +151,10 @@ class RenderConfig:
     # no longer consuming bounce budget for the folded MIS ray. False
     # restores the reference's exact two-NEE-ray estimator.
     fold_bsdf_mis: bool = True
+    # Measured traversal-kernel policy (see KernelPolicy). The default is
+    # the production profile; benchmarks override fields here instead of
+    # editing module globals.
+    kernel: KernelPolicy = DEFAULT_KERNEL_POLICY
 
     @property
     def tan_half_fov(self) -> float:

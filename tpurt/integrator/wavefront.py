@@ -70,11 +70,9 @@ MAX_WAVES = 8  # camera hit + up to 7 bounces (recursion cap, PipelineBuilder.cp
 # 2*PACKET_COMPACT skip compaction entirely (tests, tiny tiles)
 PACKET_COMPACT = 1024
 
-# measured sort policy (TPU, 320x240 interior): sorting re-traced/secondary
-# batches compacts live rays into few packets, but argsort itself costs ~ms
-# per launch — each site is toggled by what benchmarks showed actually wins
-SORT_WAVE0 = False           # camera rays: row-major is coherent enough
-SORT_RETRACE = False         # alpha re-trace loops (closest + occlusion)
+# Sort policy (camera-wave sort, re-trace sort) and every other measured
+# kernel knob live in cfg.kernel (config.KernelPolicy) — the one config
+# surface SURVEY.md §5 prescribes; no module-global policy remains here.
 
 
 class RayStats(NamedTuple):
@@ -213,7 +211,7 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
         bvh, scene.tri_pos, scene.lights, o, d, t_min0, cfg.t_max,
         include_spheres=include_spheres, active=active, sort_rays=sort_rays,
         incoherent=incoherent, interpret=interpret,
-        no_tmin=tmin_is_zero, return_pending=True,
+        no_tmin=tmin_is_zero, return_pending=True, policy=cfg.kernel,
     )
     if not has_alpha:
         return hit
@@ -237,8 +235,9 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
         out = closest_hit(
             bvh, scene.tri_pos, scene.lights, o, d, t_min, cfg.t_max,
             include_spheres=include_spheres, active=rej,
-            sort_rays=SORT_RETRACE, incoherent=incoherent,
+            sort_rays=cfg.kernel.sort_retrace, incoherent=incoherent,
             interpret=interpret, return_pending=use_pending,
+            policy=cfg.kernel,
         )
         return out if use_pending else (out, None)
 
@@ -256,7 +255,7 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
             jnp.stack([o0, o1, o2], axis=1), jnp.stack([d0, d1, d2], axis=1),
             tm, cfg.t_max, include_spheres=include_spheres, active=rj,
             sort_rays=False, incoherent=incoherent, interpret=interpret,
-            return_pending=use_pending,
+            return_pending=use_pending, policy=cfg.kernel,
         )
         nh, npend = out if use_pending else (out, None)
         pad = n - cap
@@ -348,7 +347,8 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
             ray_class = (jnp.arange(n) >= (n // 2)).astype(jnp.int32)
         blocked, hit = occlusion_hit(bvh, o, d, t_min0, t_limit, active,
                                      has_alpha, ray_class=ray_class,
-                                     interpret=interpret, no_tmin=True)
+                                     interpret=interpret, no_tmin=True,
+                                     policy=cfg.kernel)
         if has_alpha:
             from tpurt.bvh.traverse import _octant_morton_key, _sort_rays
 
@@ -371,8 +371,9 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
             def _full_retrace(args):
                 t_min, rej = args
                 return occlusion_hit(bvh, o, d, t_min, t_limit, rej,
-                                     has_alpha, sort_rays=SORT_RETRACE,
-                                     interpret=interpret)
+                                     has_alpha,
+                                     sort_rays=cfg.kernel.sort_retrace,
+                                     interpret=interpret, policy=cfg.kernel)
 
             def _compact_retrace(args):
                 t_min, rej = args
@@ -384,7 +385,8 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
                 b2, h2 = occlusion_hit(
                     bvh, jnp.stack([o0, o1, o2], axis=1),
                     jnp.stack([d0, d1, d2], axis=1), tm, tl, rj,
-                    has_alpha, sort_rays=False, interpret=interpret)
+                    has_alpha, sort_rays=False, interpret=interpret,
+                    policy=cfg.kernel)
                 pad = n - cap
                 b2 = jnp.concatenate([b2, jnp.zeros(pad, bool)])
                 t = jnp.concatenate([h2.t,
@@ -890,7 +892,7 @@ def trace_paths(
         with jax.named_scope("trace_closest"):
             hit = _trace(scene, bvh, o, d, jnp.zeros(nw), trace_act,
                          include_spheres, cfg, has_alpha,
-                         sort_rays=bool(wave_idx) or SORT_WAVE0,
+                         sort_rays=bool(wave_idx) or cfg.kernel.sort_wave0,
                          incoherent=bool(wave_idx))
 
         is_tri = active & (hit.kind == KIND_TRIANGLE)

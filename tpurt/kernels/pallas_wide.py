@@ -586,10 +586,12 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         #   rolls: bit-packed i32 + 10 dependent OR-rotations — ~680
         #     ns/step, the dominant phase of the round-3 kernel.
         if sumcol:
-            accs = [jnp.zeros((_SUB, _LANE), jnp.float32)
+            # shaped like the ray registers: (8,128) single-packet, or
+            # (sup*8, 128) when a superpacket shares this step chain
+            accs = [jnp.zeros(ox.shape, jnp.float32)
                     for _ in range(arity // 2)]
         else:
-            hitbits = jnp.zeros((_SUB, _LANE), jnp.int32)
+            hitbits = jnp.zeros(ox.shape, jnp.int32)
         for s in range(arity):
             b = s * 6
             t0x = (blane(_BOX0 + b + 0) - ox) * inv_x
@@ -625,8 +627,10 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
                 mask_scalar = jnp.where(is_node, mask_scalar, jnp.int32(0))
         else:
             # collapse to one scalar hitmask with log2 OR-rotations
-            for shift in (4, 2, 1):
+            shift = hitbits.shape[0] // 2
+            while shift:
                 hitbits = hitbits | pltpu.roll(hitbits, shift, 0)
+                shift //= 2
             for shift in (64, 32, 16, 8, 4, 2, 1):
                 hitbits = hitbits | pltpu.roll(hitbits, shift, 1)
             if is_node is None:
@@ -861,6 +865,10 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         return sp, entry, active, is_node
 
     def step(carry):
+        # NOTE: _stepcost_kernel hand-duplicates this step's slab-test /
+        # extract / push blocks for phase-cost attribution — any change
+        # to the step structure here must be mirrored there, or the
+        # instrumented per-phase numbers silently diverge from production.
         sp, entry, active, is_node = side_pop(carry, side0)
         _, t_best, prim, blocked = carry
 
@@ -939,10 +947,11 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
 
     def side_init(i):
         sl = slice(None) if i is None else slice(i * _SUB, (i + 1) * _SUB)
+        tl = tlim_ref[sl, :]
         common = (
-            tlim_ref[sl, :],
-            jnp.full((_SUB, _LANE), -1, jnp.int32),
-            jnp.zeros((_SUB, _LANE), jnp.float32),
+            tl,
+            jnp.full(tl.shape, -1, jnp.int32),
+            jnp.zeros(tl.shape, jnp.float32),
         )
         if descend:
             # entry = wide root in hand, stack empty
@@ -1357,6 +1366,10 @@ def stepcost_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                      collapse_mode=0, interpret=False):
     """pallas_call wrapper for the step-cost kernel (requires resident
     tables; see _stepcost_kernel)."""
+    assert steps % unroll == 0, (
+        f"steps={steps} must be a multiple of unroll={unroll}: the kernel "
+        "runs fori_loop(steps // unroll) and would silently execute fewer "
+        "steps, skewing every per-step phase-cost division")
     n_packets = ox.shape[0] // _SUB
     ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p, oct_ref: (p, 0),
                             memory_space=pltpu.VMEM)
@@ -1395,11 +1408,12 @@ def stepcost_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
 
 @functools.partial(jax.jit, static_argnames=(
     "group", "occlusion", "all_definite", "walks", "unroll", "arity",
-    "no_tmin", "cell_masks", "interpret"))
+    "no_tmin", "cell_masks", "resident_budget", "interpret"))
 def _octet_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                    tmin, tlim, *, group, occlusion, all_definite, walks,
                    unroll=_UNROLL, arity=ARITY, no_tmin=False,
-                   cell_masks=False, interpret=False):
+                   cell_masks=False, resident_budget=_RESIDENT_BUDGET,
+                   interpret=False):
     """pallas_call wrapper for the multi-walk kernel. Appends the dummy
     rows (NaN-box node row per octant, zero leaf row) the kernel's
     maskless predication relies on, and requires whole-table residency
@@ -1421,7 +1435,7 @@ def _octet_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
 
     table_bytes = (8 * (w + 1) * _LANE * nodes.dtype.itemsize
                    + tris.shape[0] * _LANE * 4)
-    assert table_bytes < _RESIDENT_BUDGET, (
+    assert table_bytes < resident_budget, (
         "multi-walk kernel requires resident tables")
 
     ray_spec = pl.BlockSpec((_SUB, _LANE), lambda p, oct_ref: (p, 0),
@@ -1460,15 +1474,26 @@ def _octet_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
 @functools.partial(jax.jit, static_argnames=(
     "group", "occlusion", "all_definite", "gate", "unroll", "dual",
     "pair", "arity", "no_tmin", "descend", "cell_masks", "sumcol",
-    "interpret"))
+    "sup", "resident_budget", "interpret"))
 def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
                   tmin, tlim, *, group, occlusion, all_definite,
                   gate=False, unroll=_UNROLL, dual=False, pair=False,
                   arity=ARITY, no_tmin=False, descend=False,
-                  cell_masks=False, sumcol=True, interpret=False):
+                  cell_masks=False, sumcol=True, sup=1,
+                  resident_budget=_RESIDENT_BUDGET, interpret=False):
+    # `sup`: SUPERPACKET width — sup*1024 rays share ONE program, one
+    # SMEM stack, one scalar step chain. The inverse of the (measured-
+    # off) multi-walk kernel: instead of more scalar chains per program,
+    # more rays under the one chain. The step's serial scalar/SMEM path
+    # is the wall (docs/PERFORMANCE.md rounds 3-4), and vector work is
+    # cheap, so a step that covers sup packets costs ~the same while the
+    # per-superpacket node-visit union grows only slightly for sorted
+    # rays (adjacent packets walk near-identical node sets).
+    if pair or dual or descend:
+        assert sup == 1, "superpacket composes with the plain/gated step"
     n_packets = ox.shape[0] // _SUB
     w = node_rows.shape[1]
-    sub = 2 * _SUB if pair else _SUB
+    sub = 2 * _SUB if pair else sup * _SUB
     ray_spec = pl.BlockSpec((sub, _LANE), lambda p, oct_ref: (p, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1481,7 +1506,7 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     # scenes beyond the ceiling.
     table_bytes = (8 * w * _LANE * node_rows.dtype.itemsize
                    + tri_rows.shape[0] * _LANE * 4)
-    resident = table_bytes < _RESIDENT_BUDGET
+    resident = table_bytes < resident_budget
     nodes_spec = full if resident else pl.BlockSpec(
         (1, w, _LANE), lambda p, oct_ref: (oct_ref[p], 0, 0),
         memory_space=pltpu.VMEM)
@@ -1493,6 +1518,15 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
         sub = _SUB
         ray_spec = pl.BlockSpec((sub, _LANE), lambda p, oct_ref: (p, 0),
                                 memory_space=pltpu.VMEM)
+    if sup > 1:
+        # a superpacket may straddle direction octants, so the whole
+        # node table must be resident (each program indexes the table by
+        # ITS prefetched octant; a straddling ray's "wrong" slot order
+        # is a heuristic, not a correctness, concern). The caller
+        # (traverse/occlusion_packets) downgrades sup before layout when
+        # the table is too big, so octants is already per-superpacket.
+        assert resident, "superpacket requires resident tables"
+        assert n_packets % sup == 0, "layout must pad to sup*PACKET"
     # dual-pop expands the second-from-top entry early, so per wide level
     # up to ~15 (vs 7) unexpanded siblings can sit on the stack — double
     # the scratch bound (2 KiB of SMEM). pair keeps two fully independent
@@ -1500,7 +1534,7 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     # two sides' SMEM traffic can reorder freely).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_packets // 2 if pair else n_packets,),
+        grid=(n_packets // 2 if pair else n_packets // sup,),
         in_specs=[nodes_spec, full] + [ray_spec] * 8,
         out_specs=[ray_spec] * 3,
         scratch_shapes=[pltpu.SMEM((2 * _STACK if dual else _STACK,),
@@ -1535,9 +1569,10 @@ def _wide_packets(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz,
     )(octants, node_rows, tri_rows, ox, oy, oz, dx, dy, dz, tmin, tlim)
 
 
-def _layout(kbvh, o, d, t_min, t_limit, active, pair=False, walks=1):
+def _layout(kbvh, o, d, t_min, t_limit, active, pair=False, walks=1, sup=1):
     n = o.shape[0]
-    quantum = 2 * PACKET if pair else PACKET  # pair pads to packet PAIRS
+    # pair pads to packet PAIRS; superpackets pad to sup*PACKET
+    quantum = 2 * PACKET if pair else sup * PACKET
     padded = max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
     def lay(x, fill):
@@ -1565,8 +1600,25 @@ def _layout(kbvh, o, d, t_min, t_limit, active, pair=False, walks=1):
         rpw = _SUB // walks
         octants = oct_all.reshape(-1, rpw * _LANE)[:, 0]
     else:
-        octants = oct_all.reshape(-1, _SUB, _LANE)[:, 0, 0]
+        # one octant per PROGRAM: a superpacket's octant is its first
+        # ray's (rays are octant-morton sorted, so straddling is rare
+        # and only costs slot order)
+        octants = oct_all.reshape(-1, sup * _SUB, _LANE)[:, 0, 0]
     return octants, ox, oy, oz, dx, dy, dz, tm, tl, n
+
+
+def _effective_sup(kbvh, sup: int, other_variant: bool,
+                   resident_budget: int) -> int:
+    """Downgrade a requested superpacket width to 1 when it cannot apply:
+    another step variant is selected, or the tables exceed the residency
+    budget (superpackets may straddle octants, so the whole 8-octant
+    node table must be resident)."""
+    if sup <= 1 or other_variant:
+        return 1
+    table_bytes = (8 * kbvh.node_rows.shape[1] * _LANE
+                   * kbvh.node_rows.dtype.itemsize
+                   + kbvh.tri_rows.shape[0] * _LANE * 4)
+    return sup if table_bytes < resident_budget else 1
 
 
 def _uv_from_prim(kbvh: WideKernelBVH, o, d, prim):
@@ -1597,7 +1649,8 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
                      dual: bool = False, pair: bool = False,
                      no_tmin: bool = False, descend: bool = False,
                      cell_masks: bool = False, octet: int = 0,
-                     sumcol: bool = True):
+                     sumcol: bool = True, sup: int = 1,
+                     resident_budget: int = _RESIDENT_BUDGET):
     """Closest-hit via the wide kernel (same contract as
     pallas_traverse.traverse_packets). `gate=True` selects the
     cond-gated step structure — 1.43x faster for sorted incoherent
@@ -1619,22 +1672,27 @@ def traverse_packets(kbvh: WideKernelBVH, o, d, t_min, t_max, active,
     want_pending = cell_masks
     if cell_masks and kbvh.tri_rows.shape[1] < tribvh.group_size * 11:
         cell_masks = False  # no mask columns packed: nothing to apply
+    sup = _effective_sup(kbvh, sup, pair or dual or descend or octet,
+                         resident_budget)
     t_limit = jnp.full(o.shape[0], t_max, jnp.float32)
     octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active,
-                                pair=pair, walks=octet if octet else 1)
+                                pair=pair, walks=octet if octet else 1,
+                                sup=sup)
     if octet:
         t, prim, pend = _octet_packets(
             octants, kbvh.node_rows, kbvh.tri_rows, *rays,
             group=tribvh.group_size, occlusion=False, all_definite=False,
             walks=octet, unroll=unroll, arity=kbvh.arity, no_tmin=no_tmin,
-            cell_masks=cell_masks, interpret=interpret)
+            cell_masks=cell_masks, resident_budget=resident_budget,
+            interpret=interpret)
     else:
         t, prim, pend = _wide_packets(
             octants, kbvh.node_rows, kbvh.tri_rows, *rays,
             group=tribvh.group_size, occlusion=False, all_definite=False,
             gate=gate, unroll=unroll, dual=dual, pair=pair,
             arity=kbvh.arity, no_tmin=no_tmin, descend=descend,
-            cell_masks=cell_masks, sumcol=sumcol, interpret=interpret)
+            cell_masks=cell_masks, sumcol=sumcol, sup=sup,
+            resident_budget=resident_budget, interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)
     if need_uv:
@@ -1653,28 +1711,34 @@ def occlusion_packets(kbvh: WideKernelBVH, o, d, t_min, t_limit, active,
                       dual: bool = False, pair: bool = False,
                       gate: bool = False, no_tmin: bool = False,
                       descend: bool = False, octet: int = 0,
-                      sumcol: bool = True):
+                      sumcol: bool = True, sup: int = 1,
+                      resident_budget: int = _RESIDENT_BUDGET):
     """Occlusion query via the wide kernel (same contract as
     pallas_traverse.occlusion_packets). need_uv as in traverse_packets;
     `gate` as in the closest wrapper (cond-gated step — measure per ray
     population; the predicated step usually wins on bounded NEE rays).
     `octet` (2/4/8) selects the multi-walk kernel (_octet_kernel)."""
     tribvh = kbvh.tribvh
+    sup = _effective_sup(kbvh, sup, pair or dual or descend or octet,
+                         resident_budget)
     octants, *rays, n = _layout(kbvh, o, d, t_min, t_limit, active,
-                                pair=pair, walks=octet if octet else 1)
+                                pair=pair, walks=octet if octet else 1,
+                                sup=sup)
     if octet:
         t, prim, blocked = _octet_packets(
             octants, kbvh.node_rows, kbvh.tri_rows, *rays,
             group=tribvh.group_size, occlusion=True,
             all_definite=not scene_has_alpha, walks=octet, unroll=unroll,
-            arity=kbvh.arity, no_tmin=no_tmin, interpret=interpret)
+            arity=kbvh.arity, no_tmin=no_tmin,
+            resident_budget=resident_budget, interpret=interpret)
     else:
         t, prim, blocked = _wide_packets(
             octants, kbvh.node_rows, kbvh.tri_rows, *rays,
             group=tribvh.group_size, occlusion=True,
             all_definite=not scene_has_alpha, unroll=unroll, dual=dual,
             pair=pair, arity=kbvh.arity, gate=gate, no_tmin=no_tmin,
-            descend=descend, sumcol=sumcol, interpret=interpret)
+            descend=descend, sumcol=sumcol, sup=sup,
+            resident_budget=resident_budget, interpret=interpret)
     blocked = blocked.reshape(-1)[:n] > 0.0
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]  # already GLOBAL ids (leaf-row id lanes)

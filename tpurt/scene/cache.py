@@ -145,7 +145,10 @@ def save_artifacts(path: str, scene: DeviceScene, bvh,
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(tmp, "wb") as f:
-        np.savez(f, **out)
+        # compressed: the Sponza-scale artifact is 124 MB raw / 13 MB
+        # deflated (~5 s once at save) — small enough that the bench
+        # warmstart bundle (benchmarks/warmstart/) ships it in git
+        np.savez_compressed(f, **out)
     os.replace(tmp, path)  # atomic: concurrent builders race benignly
 
 
