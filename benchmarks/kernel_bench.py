@@ -72,6 +72,17 @@ def main():
                          "1024/N-ray sub-packets per program "
                          "(pallas_wide._octet_kernel; predicated step, "
                          "gate ignored)")
+    ap.add_argument("--sup", type=int, default=0,
+                    help="superpacket width: SUP*1024 rays share one "
+                         "program / one SMEM stack / one scalar step "
+                         "chain (pallas_wide._wide_packets sup=; "
+                         "composes with the plain and gated steps)")
+    ap.add_argument("--race-sup", default="",
+                    help="comma-separated sup widths (e.g. 1,2,4) raced "
+                         "IN ONE PROCESS with interleaved reps and "
+                         "median reporting — the only protocol that "
+                         "survives the +-40%% inter-process session "
+                         "drift (docs/PERFORMANCE.md round 4)")
     args = ap.parse_args()
 
     from tpurt.utils.profiling import enable_compilation_cache
@@ -155,6 +166,11 @@ def main():
         dual_kw["octet"] = args.octet
         print(f"multi-walk kernel enabled: {args.octet} walks x "
               f"{1024 // args.octet} rays")
+    if args.sup:
+        assert not (args.dual or args.pair or args.descend or args.octet), \
+            "--sup composes with the plain/gated step only"
+        dual_kw["sup"] = args.sup
+        print(f"superpacket enabled: {args.sup} x 1024 rays per program")
     plain_gate = (args.dual or args.pair
                   or bool(args.octet))  # variants use the predicated step
 
@@ -342,6 +358,55 @@ def main():
     dt = _timed(occl, args.reps)
     results["occlusion_ms"] = dt * 1e3
     results["occlusion_mrays"] = n / dt / 1e6
+
+    if args.race_sup:
+        # in-process interleaved race over sup widths: warm every compile
+        # first, then cycle sup values within each rep round so session
+        # drift hits all contestants equally; report medians
+        sups = [int(s) for s in args.race_sup.split(",")]
+        cases = {}
+        for s in sups:
+            kw = dict(need_uv=False, sup=s)
+            cases[s] = {
+                "coh": (lambda s=s, kw=kw: pallas_wide.traverse_packets(
+                    kbvh, o, d, t_min, cfg.t_max, active, **kw)[0]),
+                "inc": (lambda s=s, kw=kw: pallas_wide.traverse_packets(
+                    kbvh, obs, dbs, t_min, cfg.t_max, active, gate=True,
+                    **kw)[0]),
+                "occ": (lambda s=s, kw=kw: pallas_wide.occlusion_packets(
+                    kbvh, oos, dls, t_min, tl, active, r.has_alpha,
+                    **kw)[0]),
+            }
+        for s in sups:  # compile+warm everything before any timing
+            for fn in cases[s].values():
+                jax.block_until_ready(fn())
+        # BLOCK-interleaved: each measurement is `reps` back-to-back runs
+        # of one executable (switching executables per call costs ~25 ms
+        # on the tunnel and would swamp the kernels); blocks cycle
+        # through contestants so minutes-scale session drift hits all
+        # equally. Median of block means.
+        rounds, reps = 3, max(3, args.reps)
+        acc = {(s, w): [] for s in sups for w in ("coh", "inc", "occ")}
+        for rnd in range(rounds):
+            for s in sups:
+                for wname, fn in cases[s].items():
+                    jax.block_until_ready(fn())  # re-warm after switch
+                    t0 = time.perf_counter()
+                    for _ in range(reps):
+                        out = fn()
+                    jax.block_until_ready(out)
+                    acc[(s, wname)].append(
+                        (time.perf_counter() - t0) / reps)
+        print(f"race-sup medians over {rounds} interleaved rounds x "
+              f"{reps} reps (ms | Mrays/s):")
+        for wname in ("coh", "inc", "occ"):
+            row = []
+            for s in sups:
+                med = float(np.median(acc[(s, wname)]))
+                results[f"race_sup{s}_{wname}_ms"] = med * 1e3
+                results[f"race_sup{s}_{wname}_mrays"] = n / med / 1e6
+                row.append(f"sup{s} {med*1e3:7.2f} {n/med/1e6:6.2f}")
+            print(f"  {wname}: " + " | ".join(row))
 
     for k, v in results.items():
         print(f"{k}: {v:.2f}")

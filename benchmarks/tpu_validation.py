@@ -63,7 +63,18 @@ def validate_scene(name, tri_pos, lights, rays, group_size, mask=None,
     tp = np.asarray(tri_pos)
     same = (pk == pr) | np.all(
         np.isclose(tp[pk], tp[pr]).reshape(pk.shape[0], -1), axis=1)
+    # superpacket lowerings must commit EXACTLY the single-packet hits on
+    # hardware too (the interpret-mode parity test can't catch Mosaic
+    # lowering bugs; cf. the sumcol advisory)
+    sup_exact = {}
+    for s in (2, 4):
+        t_s, p_s, _, _ = traverse_packets(kb, o, d, t_min, 1e9,
+                                          jnp.ones(n, bool), sup=s)
+        sup_exact[f"sup{s}_bitexact"] = bool(
+            np.array_equal(np.asarray(p_s), np.asarray(prim))
+            and np.array_equal(np.asarray(t_s), np.asarray(t)))
     return {
+        **sup_exact,
         "scene": name,
         "kernel": kernel,
         "rays": int(n),

@@ -18,7 +18,7 @@ def test_default_profile_is_the_measured_production_configuration():
     assert p.descend_closest is False and p.descend_occlusion is False
     assert p.cell_masks_closest is True
     assert p.octet_closest == 0 and p.octet_occlusion == 0
-    assert p.sup_closest == 1 and p.sup_occlusion == 1
+    assert p.sup_closest == 2 and p.sup_occlusion == 4
     assert p.sumcol is True
     assert p.unroll == 4
     assert p.arity == 16

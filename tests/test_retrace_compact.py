@@ -93,8 +93,11 @@ def test_trace_compact_equals_full(tmp_path, monkeypatch, transparent_cols,
     assert n_rej > 0
     assert (n_rej <= cap) == expect_compact
 
-    monkeypatch.setattr(W, "_retrace_capacity", lambda n: 0)
-    h_f = _run_trace(scene, bvh, o, d, cfg, interpret=False)
+    import dataclasses
+
+    h_f = _run_trace(scene, bvh, o, d,
+                     dataclasses.replace(cfg, retrace_frac=0),
+                     interpret=False)
 
     np.testing.assert_array_equal(np.asarray(h_c.t), np.asarray(h_f.t))
     np.testing.assert_array_equal(np.asarray(h_c.prim), np.asarray(h_f.prim))
@@ -117,8 +120,11 @@ def test_trace_compact_wide_kernel_interpret(tmp_path, monkeypatch):
     o, d = _grid_rays(4096, 6.0)
 
     h_c = _run_trace(scene, kb, o, d, cfg, interpret=True)
-    monkeypatch.setattr(W, "_retrace_capacity", lambda n: 0)
-    h_f = _run_trace(scene, kb, o, d, cfg, interpret=True)
+    import dataclasses
+
+    h_f = _run_trace(scene, kb, o, d,
+                     dataclasses.replace(cfg, retrace_frac=0),
+                     interpret=True)
 
     np.testing.assert_array_equal(np.asarray(h_c.prim), np.asarray(h_f.prim))
     np.testing.assert_array_equal(np.asarray(h_c.t), np.asarray(h_f.t))
@@ -143,9 +149,11 @@ def test_shadow_compact_equals_full(tmp_path, monkeypatch):
 
     out_c = W._trace_shadow(scene, kb, o, d, act, tp, cfg, has_alpha=True,
                             interpret=True)
-    monkeypatch.setattr(W, "_retrace_capacity", lambda n: 0)
-    out_f = W._trace_shadow(scene, kb, o, d, act, tp, cfg, has_alpha=True,
-                            interpret=True)
+    import dataclasses
+
+    out_f = W._trace_shadow(scene, kb, o, d, act, tp,
+                            dataclasses.replace(cfg, retrace_frac=0),
+                            has_alpha=True, interpret=True)
 
     for c, f in zip(out_c, out_f):
         np.testing.assert_array_equal(np.asarray(c), np.asarray(f))

@@ -54,8 +54,10 @@ def test_shade_compact_equals_full(tmp_path, monkeypatch):
     rad_c = W.trace_paths(scene, bvh, o, d, state, cfg=cfg,
                           has_alpha=False)
 
-    monkeypatch.setattr(W, "_shade_capacity", lambda n: 0)
-    rad_f = W.trace_paths(scene, bvh, o, d, state, cfg=cfg,
+    import dataclasses
+
+    rad_f = W.trace_paths(scene, bvh, o, d, state,
+                          cfg=dataclasses.replace(cfg, shade_frac=0),
                           has_alpha=False)
 
     c, f = np.asarray(rad_c), np.asarray(rad_f)

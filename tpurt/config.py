@@ -85,9 +85,12 @@ class KernelPolicy:
     octet_closest: int = 0
     octet_occlusion: int = 0
     # superpacket width: sup*1024 rays share one program / one scalar
-    # step chain (pallas_wide._wide_packets `sup`); 1 = off
-    sup_closest: int = 1
-    sup_occlusion: int = 1
+    # step chain (pallas_wide._wide_packets `sup`); 1 = off. Defaults
+    # from the round-5 block-interleaved races (docs/PERFORMANCE.md):
+    # closest 2 (incoherent +7%, the frame-dominant class), occlusion 4
+    # (+11-24%).
+    sup_closest: int = 2
+    sup_occlusion: int = 4
     sumcol: bool = True
     unroll: int = 4
     arity: int = 16
@@ -155,6 +158,16 @@ class RenderConfig:
     # the production profile; benchmarks override fields here instead of
     # editing module globals.
     kernel: KernelPolicy = DEFAULT_KERNEL_POLICY
+    # ---- wavefront compaction machinery (integrator/wavefront.py) ----
+    # capacity LADDER: sort alive-first between late waves and shrink
+    # the batch to 3/4 then 3/8 when survivors fit (trace_paths)
+    compact_ladder: bool = True
+    # compacted shade section inside the tail loop: hits-first sort,
+    # shade block at n/shade_frac when the hit count fits; 0 = off
+    shade_frac: int = 2
+    # compacted alpha re-trace: rejected rays sort into an n/retrace_frac
+    # slice for the re-trace relaunch + texture recheck; 0 = full-width
+    retrace_frac: int = 8
 
     @property
     def tan_half_fov(self) -> float:

@@ -118,7 +118,8 @@ def _alpha_eval(scene, u, v, prim, tested) -> jnp.ndarray:
     return (tested & (tbit == 1)) | by_tap
 
 
-def _alpha_rejected(scene, h: Hit, mask, pending=None) -> jnp.ndarray:
+def _alpha_rejected(scene, h: Hit, mask, pending=None,
+                    retrace_frac: int = 8) -> jnp.ndarray:
     """Exact any-hit alpha test for committed hits (raytrace.rahit:53-58):
     True where the hit must be ignored (albedo texture alpha < cutoff).
 
@@ -142,7 +143,7 @@ def _alpha_rejected(scene, h: Hit, mask, pending=None) -> jnp.ndarray:
     else:
         tested = mask & pending
     n = prim.shape[0]
-    cap = _retrace_capacity(n)
+    cap = _retrace_capacity(n, retrace_frac)
     if cap == 0:
         return _alpha_eval(scene, h.u, h.v, prim, tested)
 
@@ -167,32 +168,34 @@ def _alpha_rejected(scene, h: Hit, mask, pending=None) -> jnp.ndarray:
     return jax.lax.cond(jnp.any(tested), some_fn, none_fn, None)
 
 
-def _retrace_capacity(n: int) -> int:
-    """Static slice size for compacted alpha re-traces: n/8 rounded up to
-    packet alignment (re-traces affect a few % of rays, but UNSORTED they
-    scatter across every 1024-ray packet, so a full-batch relaunch walks
-    the tree nearly everywhere; compacting rejected rays — octant-morton
-    sorted — into an n/8 slice bounds the relaunch at ~1/8 the packets).
-    0 disables compaction (small batches: the cond isn't worth it)."""
-    if n < 4 * PACKET_COMPACT:
+def _retrace_capacity(n: int, frac: int = 8) -> int:
+    """Static slice size for compacted alpha re-traces: n/frac rounded up
+    to packet alignment (re-traces affect a few % of rays, but UNSORTED
+    they scatter across every 1024-ray packet, so a full-batch relaunch
+    walks the tree nearly everywhere; compacting rejected rays —
+    octant-morton sorted — into an n/frac slice bounds the relaunch at
+    ~1/frac the packets). 0 disables compaction (small batches: the cond
+    isn't worth it; or cfg.retrace_frac == 0)."""
+    if frac == 0 or n < 4 * PACKET_COMPACT:
         return 0
     return max(PACKET_COMPACT,
-               -(-(n // 8) // PACKET_COMPACT) * PACKET_COMPACT)
+               -(-(n // frac) // PACKET_COMPACT) * PACKET_COMPACT)
 
 
-def _shade_capacity(n: int) -> int:
-    """Static slice size for the compacted shade section: n/2 rounded up
-    to packet alignment. The whole shade+NEE+shadow+MIS+bounce block only
-    matters for `is_tri` lanes (every downstream consumer is masked by
-    is_tri/cont, and excluded lanes are terminated rays whose rng state is
-    never consumed again), so when the hit count fits, the block runs at
-    half width — a strictly weaker condition than the wave-compaction
-    ladder's all-survivors bound, catching the hard bands that never fit
-    the ladder. 0 disables (small batches)."""
-    if n < 4 * PACKET_COMPACT:
+def _shade_capacity(n: int, frac: int = 2) -> int:
+    """Static slice size for the compacted shade section: n/frac rounded
+    up to packet alignment. The whole shade+NEE+shadow+MIS+bounce block
+    only matters for `is_tri` lanes (every downstream consumer is masked
+    by is_tri/cont, and excluded lanes are terminated rays whose rng
+    state is never consumed again), so when the hit count fits, the
+    block runs at reduced width — a strictly weaker condition than the
+    wave-compaction ladder's all-survivors bound, catching the hard
+    bands that never fit the ladder. 0 disables (small batches, or
+    cfg.shade_frac == 0)."""
+    if frac == 0 or n < 4 * PACKET_COMPACT:
         return 0
     return max(PACKET_COMPACT,
-               -(-(n // 2) // PACKET_COMPACT) * PACKET_COMPACT)
+               -(-(n // frac) // PACKET_COMPACT) * PACKET_COMPACT)
 
 
 def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
@@ -220,7 +223,8 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
     # reach the host tap). Static per bvh type + flag.
     use_pending = pending is not None
 
-    alpha_rejected = partial(_alpha_rejected, scene)
+    alpha_rejected = partial(_alpha_rejected, scene,
+                             retrace_frac=cfg.retrace_frac)
 
     # carry the rejection mask so each iteration evaluates the (gather
     # heavy) texture test once, not once in cond and once in body; later
@@ -228,7 +232,7 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
     # usually turns the tail iterations into no-ops
     rej0 = alpha_rejected(hit, active, pending)
     n = o.shape[0]
-    cap = _retrace_capacity(n)
+    cap = _retrace_capacity(n, cfg.retrace_frac)
 
     def _full_retrace(args):
         o, d, t_min, rej = args
@@ -364,9 +368,10 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
             kernel_masks = (bvh.tri_rows.shape[1]
                             >= bvh.tribvh.group_size * 11)
             rej = _alpha_rejected(scene, hit, unc,
-                                  unc if kernel_masks else None)
+                                  unc if kernel_masks else None,
+                                  retrace_frac=cfg.retrace_frac)
             blocked = blocked | (unc & ~rej)
-            cap = _retrace_capacity(n)
+            cap = _retrace_capacity(n, cfg.retrace_frac)
 
             def _full_retrace(args):
                 t_min, rej = args
@@ -423,7 +428,8 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
                 )
                 unc2 = rej & ~b2 & (hit.prim >= 0)
                 rej2 = _alpha_rejected(scene, hit, unc2,
-                                       unc2 if kernel_masks else None)
+                                       unc2 if kernel_masks else None,
+                                       retrace_frac=cfg.retrace_frac)
                 blocked = blocked | (rej & b2) | (unc2 & ~rej2)
                 return i + 1, blocked, hit, t_min, rej2
 
@@ -927,7 +933,7 @@ def trace_paths(
 
         shade_args = (o, d, state, throughput, is_tri,
                       hit.t, hit.prim, hit.u, hit.v)
-        cap = _shade_capacity(nw) if shade_compact else 0
+        cap = _shade_capacity(nw, cfg.shade_frac) if shade_compact else 0
         if cap:
             def compact_fn(args):
                 from tpurt.bvh.traverse import _sort_rays
@@ -1058,10 +1064,11 @@ def trace_paths(
         return max(-(-x // PACKET_COMPACT) * PACKET_COMPACT, PACKET_COMPACT)
 
     caps = []
-    for frac in (3 * n // 4, 3 * n // 8):
-        c = _round_cap(frac)
-        if c < n and (not caps or c < caps[-1]):
-            caps.append(c)
+    if cfg.compact_ladder:
+        for frac in (3 * n // 4, 3 * n // 8):
+            c = _round_cap(frac)
+            if c < n and (not caps or c < caps[-1]):
+                caps.append(c)
 
     def _to_args(c):
         return (c[0], c[1], c[2], c[4], c[5], c[6], c[7], c[8], c[9])

@@ -27,6 +27,7 @@ import hashlib
 import os
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -173,6 +174,12 @@ def load_artifacts(path: str) -> Optional[Tuple[DeviceScene, object, object]]:
     scene = _unpack_nt(DeviceScene, "ds", data, leaf)
     tribvh = _unpack_nt(TriBVH, "bvh/tribvh", data, leaf)
     kind = str(data["bvh_kind"])
+    if kind == "wide" and jax.default_backend() == "cpu":
+        # a wide (Pallas) artifact loaded on the CPU backend would crash
+        # at dispatch (compiled pallas_call is TPU-only); the cache key
+        # normally separates backends, but a stale or copied artifact
+        # must degrade to the packed TriBVH it embeds, not crash
+        kind = "tri"
     if kind == "wide":
         bvh = WideKernelBVH(
             tribvh=tribvh,
