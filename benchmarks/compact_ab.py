@@ -45,7 +45,7 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--variants", default="base,ladder_off,shade_off,"
-                                          "retrace4,retrace0")
+                                          "retrace4,retrace0,gather")
     ap.add_argument("--json", default="benchmarks/compact_ab.json")
     args = ap.parse_args()
 
@@ -84,6 +84,11 @@ def main():
         "shade_off": dataclasses.replace(base, shade_frac=0),
         "retrace4": dataclasses.replace(base, retrace_frac=4),
         "retrace0": dataclasses.replace(base, retrace_frac=0),
+        # gather lowering for ALL compacted sections (re-trace slices,
+        # shade section, capacity ladder): one 2-col index sort +
+        # cap-sized gathers/scatters instead of full-width variadic
+        # sorts both ways
+        "gather": dataclasses.replace(base, compact_gather=True),
     }
     names = [v for v in args.variants.split(",") if v]
     variants = {k: all_variants[k] for k in names}

@@ -160,3 +160,49 @@ def test_shadow_compact_equals_full(tmp_path, monkeypatch):
     # the payload must show a mix of blocked (a=1) and escaped (a=-4)
     a = np.asarray(out_c[1])
     assert (a == 1.0).any() and (a == -4.0).any()
+
+
+def test_retrace_gather_equals_sort(tmp_path):
+    """The gather lowering of the compacted alpha re-trace must commit
+    exactly the sort lowering's hits (closest trace, XLA path)."""
+    import dataclasses
+
+    scene = _alpha_scene(tmp_path, 1)
+    bvh = build_triangle_bvh(scene.tri_pos, group_size=4)
+    cfg = RenderConfig(width=64, height=64)
+    o, d = _grid_rays(4096, 6.0)
+
+    h_s = _run_trace(scene, bvh, o, d, cfg, interpret=False)
+    h_g = _run_trace(scene, bvh, o, d,
+                     dataclasses.replace(cfg, compact_gather=True),
+                     interpret=False)
+    np.testing.assert_array_equal(np.asarray(h_s.prim), np.asarray(h_g.prim))
+    np.testing.assert_array_equal(np.asarray(h_s.t), np.asarray(h_g.t))
+    np.testing.assert_array_equal(np.asarray(h_s.kind), np.asarray(h_g.kind))
+
+
+def test_shadow_gather_equals_sort(tmp_path):
+    """Gather vs sort lowering parity for the occlusion recheck's
+    compacted re-trace (wide kernel, interpret mode)."""
+    import dataclasses
+
+    from tpurt.kernels.pallas_wide import make_wide_kernel_bvh
+
+    scene = _fine_alpha_scene(tmp_path)
+    tb = build_triangle_bvh(scene.tri_pos, group_size=4)
+    kb = make_wide_kernel_bvh(tb, scene.tri_pos,
+                              tri_alpha_mask=scene.tri_alpha_mask,
+                              tri_alpha_opaque=scene.tri_alpha_opaque)
+    cfg = RenderConfig(width=64, height=64)
+    o, d = _grid_rays(4096, 3.5)
+    n = o.shape[0]
+    act = jnp.ones(n, bool)
+    tp = jnp.ones(n, jnp.float32)
+
+    out_s = W._trace_shadow(scene, kb, o, d, act, tp, cfg, has_alpha=True,
+                            interpret=True)
+    out_g = W._trace_shadow(scene, kb, o, d, act, tp,
+                            dataclasses.replace(cfg, compact_gather=True),
+                            has_alpha=True, interpret=True)
+    for c, f in zip(out_s, out_g):
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(f))

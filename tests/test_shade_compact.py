@@ -66,3 +66,23 @@ def test_shade_compact_equals_full(tmp_path, monkeypatch):
     # permutation (a broken scatter-back would zero or misplace it)
     assert (c.sum(-1) > 0).sum() >= n_hit
     assert np.isfinite(c).all()
+
+
+def test_compact_gather_equals_sort(tmp_path, monkeypatch):
+    """cfg.compact_gather (index-gather lowering: one 2-col sort +
+    cap-sized gathers/scatters) must render BIT-identically to the
+    full-width-variadic-sort lowering across the shade section AND the
+    capacity ladder (both fire at this batch size)."""
+    import dataclasses
+
+    scene, bvh, o, d, state, cfg = _setup(tmp_path)
+    monkeypatch.setattr(W, "PACKET_COMPACT", 64)
+
+    rad_sort = W.trace_paths(scene, bvh, o, d, state, cfg=cfg,
+                             has_alpha=False)
+    rad_gath = W.trace_paths(
+        scene, bvh, o, d, state,
+        cfg=dataclasses.replace(cfg, compact_gather=True),
+        has_alpha=False)
+    np.testing.assert_array_equal(np.asarray(rad_sort),
+                                  np.asarray(rad_gath))

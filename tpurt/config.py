@@ -168,6 +168,12 @@ class RenderConfig:
     # compacted alpha re-trace: rejected rays sort into an n/retrace_frac
     # slice for the re-trace relaunch + texture recheck; 0 = full-width
     retrace_frac: int = 8
+    # compaction lowering for the re-trace slices: True = one 2-column
+    # index sort + cap-sized gathers in / cap-sized scatters out;
+    # False = full-width variadic sorts both ways (the round-2 design,
+    # sized under since-retracted microbench numbers). A/B on hardware
+    # via benchmarks/compact_ab.py.
+    compact_gather: bool = False
 
     @property
     def tan_half_fov(self) -> float:

@@ -168,6 +168,18 @@ def _alpha_rejected(scene, h: Hit, mask, pending=None,
     return jax.lax.cond(jnp.any(tested), some_fn, none_fn, None)
 
 
+def _take_idx(key: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Indices of the cap smallest keys (flagged lanes carry their
+    octant-morton key, unflagged lanes +inf): ONE 2-column sort, vs the
+    full-width variadic sorts of the _sort_rays compaction. Gathering
+    the ray columns at idx and scattering results back are cap-sized —
+    the full width is touched once (the key sort), not once per
+    column."""
+    n = key.shape[0]
+    return jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
+                        num_keys=1)[1][:cap]
+
+
 def _retrace_capacity(n: int, frac: int = 8) -> int:
     """Static slice size for compacted alpha re-traces: n/frac rounded up
     to packet alignment (re-traces affect a few % of rays, but UNSORTED
@@ -247,21 +259,37 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
 
     def _compact_retrace(args):
         # exact: the cond proved every rejected ray fits the slice; the
-        # sliced-away rows are all un-rejected and keep their committed hit
+        # sliced-away rows are all un-rejected and keep their committed
+        # hit (the caller masks every output by `rej`)
         o, d, t_min, rej = args
         key = _octant_morton_key(bvh, o, d, rej)
-        orig, cols = _sort_rays(
-            key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-                  t_min, rej))
-        o0, o1, o2, d0, d1, d2, tm, rj = (c[:cap] for c in cols)
+        if cfg.compact_gather:
+            idx = _take_idx(key, cap)
+            oc, dc = o[idx], d[idx]
+            tm, rj = t_min[idx], rej[idx]
+        else:
+            orig, cols = _sort_rays(
+                key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
+                      d[:, 2], t_min, rej))
+            o0, o1, o2, d0, d1, d2, tm, rj = (c[:cap] for c in cols)
+            oc = jnp.stack([o0, o1, o2], axis=1)
+            dc = jnp.stack([d0, d1, d2], axis=1)
         out = closest_hit(
-            bvh, scene.tri_pos, scene.lights,
-            jnp.stack([o0, o1, o2], axis=1), jnp.stack([d0, d1, d2], axis=1),
+            bvh, scene.tri_pos, scene.lights, oc, dc,
             tm, cfg.t_max, include_spheres=include_spheres, active=rj,
             sort_rays=False, incoherent=incoherent, interpret=interpret,
             return_pending=use_pending, policy=cfg.kernel,
         )
         nh, npend = out if use_pending else (out, None)
+        if cfg.compact_gather:
+            t = jnp.full(n, cfg.t_max, jnp.float32).at[idx].set(nh.t)
+            kind = jnp.full(n, KIND_MISS, jnp.int32).at[idx].set(nh.kind)
+            prim = jnp.full(n, -1, jnp.int32).at[idx].set(nh.prim)
+            u = jnp.zeros(n, jnp.float32).at[idx].set(nh.u)
+            v = jnp.zeros(n, jnp.float32).at[idx].set(nh.v)
+            if use_pending:
+                npend = jnp.zeros(n, bool).at[idx].set(npend)
+            return Hit(t=t, kind=kind, prim=prim, u=u, v=v), npend
         pad = n - cap
         t = jnp.concatenate([nh.t, jnp.full(pad, cfg.t_max, jnp.float32)])
         kind = jnp.concatenate([nh.kind,
@@ -383,6 +411,22 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
             def _compact_retrace(args):
                 t_min, rej = args
                 key = _octant_morton_key(bvh, o, d, rej)
+                if cfg.compact_gather:
+                    idx = _take_idx(key, cap)
+                    b2, h2 = occlusion_hit(
+                        bvh, o[idx], d[idx], t_min[idx], t_limit[idx],
+                        rej[idx], has_alpha, sort_rays=False,
+                        interpret=interpret, policy=cfg.kernel)
+                    return (
+                        jnp.zeros(n, bool).at[idx].set(b2),
+                        Hit(t=jnp.full(n, cfg.t_max,
+                                       jnp.float32).at[idx].set(h2.t),
+                            kind=jnp.full(n, KIND_MISS,
+                                          jnp.int32).at[idx].set(h2.kind),
+                            prim=jnp.full(n, -1,
+                                          jnp.int32).at[idx].set(h2.prim),
+                            u=jnp.zeros(n, jnp.float32).at[idx].set(h2.u),
+                            v=jnp.zeros(n, jnp.float32).at[idx].set(h2.v)))
                 orig, cols = _sort_rays(
                     key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
                           d[:, 2], t_min, t_limit, rej))
@@ -935,6 +979,31 @@ def trace_paths(
                       hit.t, hit.prim, hit.u, hit.v)
         cap = _shade_capacity(nw, cfg.shade_frac) if shade_compact else 0
         if cap:
+            def compact_gather_fn(args):
+                # hits-first index order preserving original adjacency
+                # (unique keys => no tie ambiguity); the shade block is
+                # pure per-lane XLA, so only the taken set matters
+                o_f, d_f, state_f, thr_f, tri_f, t_f, p_f, u_f, v_f = args
+                lane = jnp.arange(nw, dtype=jnp.int32)
+                idx = _take_idx(jnp.where(tri_f, lane, lane + nw), cap)
+                st_c, mi_c, ll_c, bd_c, tn_c, kl_c, no_c, al_c, fw_c = \
+                    shade_nee((o_f[idx], d_f[idx], state_f[idx],
+                               thr_f[idx], tri_f[idx], t_f[idx], p_f[idx],
+                               u_f[idx], v_f[idx]))
+                z3 = jnp.zeros((nw, 3), jnp.float32)
+                # excluded lanes: rng state carries through UNCHANGED
+                # (they are all ~is_tri — terminated — so it is never
+                # consumed); everything else is masked downstream
+                return (state_f.at[idx].set(st_c),
+                        jnp.zeros(nw, jnp.int32).at[idx].set(mi_c),
+                        z3.at[idx].set(ll_c),
+                        z3.at[idx].set(bd_c),
+                        jnp.zeros(nw, jnp.float32).at[idx].set(tn_c),
+                        jnp.zeros(nw, bool).at[idx].set(kl_c),
+                        z3.at[idx].set(no_c),
+                        z3.at[idx].set(al_c),
+                        jnp.zeros(nw, jnp.float32).at[idx].set(fw_c))
+
             def compact_fn(args):
                 from tpurt.bvh.traverse import _sort_rays
 
@@ -984,7 +1053,8 @@ def trace_paths(
             with jax.named_scope("shade_compact"):
                 outs = jax.lax.cond(
                     jnp.sum(is_tri.astype(jnp.int32)) <= cap,
-                    compact_fn, shade_nee, shade_args)
+                    compact_gather_fn if cfg.compact_gather else compact_fn,
+                    shade_nee, shade_args)
         else:
             outs = shade_nee(shade_args)
         (state, miss_inc, local_l, bounce_dir, t_new, killed, new_o,
@@ -1098,6 +1168,26 @@ def trace_paths(
                  a[3], a[4], a[5], a[6], a[7], a[8]))
             return c[3], c[7]
 
+        def compact_gather_fn(a):
+            # live-first index order preserving original (octant-morton
+            # sorted) adjacency — unique keys, one 2-col sort, cap-sized
+            # gathers in / one cap-sized radiance scatter out
+            (o, d, state, throughput, albedo_prod, depth, rays_traced,
+             mis_coeff, active) = a
+            live = active | jnp.any(mis_coeff != 0.0, axis=-1)
+            lane = jnp.arange(m, dtype=jnp.int32)
+            idx = _take_idx(jnp.where(live, lane, lane + m), cap)
+            sub = (o[idx], d[idx], state[idx],
+                   jnp.zeros((cap, 3), jnp.float32), throughput[idx],
+                   albedo_prod[idx], depth[idx], rays_traced,
+                   mis_coeff[idx], active[idx])
+            sub, _ = wave(sub, 1)
+            sub, _ = wave(sub, 1)
+            rad_deep, rt = _tail(_to_args(sub), caps_here[1:])
+            rad_cap = sub[3] + rad_deep
+            return (jnp.zeros((m, 3), jnp.float32).at[idx].set(rad_cap),
+                    rt)
+
         def compact_fn(a):
             (o, d, state, throughput, albedo_prod, depth, rays_traced,
              mis_coeff, active) = a
@@ -1136,7 +1226,10 @@ def trace_paths(
 
         live_ct = args[8] | jnp.any(args[7] != 0.0, axis=-1)
         alive = jnp.sum(live_ct.astype(jnp.int32))
-        return jax.lax.cond(alive <= cap, compact_fn, full_fn, args)
+        return jax.lax.cond(
+            alive <= cap,
+            compact_gather_fn if cfg.compact_gather else compact_fn,
+            full_fn, args)
 
     if not caps:
         carry = jax.lax.while_loop(cond, body, carry)
