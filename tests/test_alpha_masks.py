@@ -10,6 +10,7 @@ from tpurt.config import RenderConfig
 from tpurt.renderer import Renderer
 from tpurt.scene import build_device_scene, load_gltf
 from tpurt.scene.procedural import GLTFBuilder, _quad_mesh
+import pytest
 
 
 def _hole_scene(tmp_path):
@@ -172,6 +173,7 @@ def test_full_render_matches_without_masks(tmp_path):
                 assert a < row[ti, 1], (ti, cell, u, v, a)
 
 
+@pytest.mark.slow
 def test_cell_masks_closest_trace_parity(tmp_path):
     """The in-kernel closest any-hit (WIDE_CELL_MASKS_CLOSEST: decided
     cells resolved during traversal + pending bit) must produce exactly

@@ -41,6 +41,7 @@ def test_render_smoke(tmp_path):
     assert os.path.exists(str(tmp_path / "acc.npz"))
 
 
+@pytest.mark.slow
 def test_render_debug_flags(tmp_path):
     """--validate, --debug-nans and --trace drive the debug/profiling
     layer from the CLI (the validation-layer/debug-printf analogues)."""

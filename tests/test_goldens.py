@@ -33,12 +33,14 @@ def test_box_golden(tmp_path):
     _compare("box_64x48_8spp.npz", np.asarray(r.render(8)))
 
 
+@pytest.mark.slow
 def test_helmet_golden(tmp_path):
     path = write_helmet_like_scene(str(tmp_path / "helmet.gltf"))
     r = Renderer.from_gltf(path, config=CFG)
     _compare("helmet_64x48_8spp.npz", np.asarray(r.render(8)))
 
 
+@pytest.mark.slow
 def test_lantern_golden(tmp_path):
     from tpurt.scene.procedural import write_lantern_like_scene
 
@@ -49,6 +51,7 @@ def test_lantern_golden(tmp_path):
     _compare("lantern_64x48_4spp.npz", np.asarray(r.render(4)))
 
 
+@pytest.mark.slow
 def test_sponza_golden(tmp_path):
     from tpurt.scene.procedural import write_sponza_like_scene
 

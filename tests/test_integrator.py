@@ -86,6 +86,7 @@ def test_emissive_material_glows(tmp_path):
     assert center.min() > 5.0
 
 
+@pytest.mark.slow
 def test_sphere_light_illuminates(tmp_path):
     """A face lit by a nearby sphere light must be brighter than the same
     face with the light far away."""
@@ -101,6 +102,7 @@ def test_sphere_light_illuminates(tmp_path):
     assert i_near > i_far * 1.5
 
 
+@pytest.mark.slow
 def test_alpha_tested_hole(tmp_path):
     """Rays through the transparent part of a MASK material must pass
     through (any-hit semantics, raytrace.rahit:57-58)."""
@@ -145,6 +147,7 @@ def test_checkpoint_resume_exact(box_path, tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_radiance_finite_on_interior(tmp_path):
     path = write_sponza_like_scene(str(tmp_path / "sp.gltf"), columns=2, foliage=4)
     cam = Camera.from_angles([0.0, -2.0, 0.0], 0.7, 0.0)
@@ -155,6 +158,7 @@ def test_radiance_finite_on_interior(tmp_path):
     assert img[..., :3].max() > 0.01  # something is lit
 
 
+@pytest.mark.slow
 def test_fold_bsdf_mis_matches_exact(box_path):
     """The folded MIS estimator (cfg.fold_bsdf_mis, one BSDF draw shared
     by the MIS-envmap term and the bounce) agrees with the reference's

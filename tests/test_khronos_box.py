@@ -13,6 +13,7 @@ from tpurt.config import RenderConfig, SphereLight
 from tpurt.renderer import Renderer
 from tpurt.scene import load_gltf
 from tpurt.scene.samples import write_khronos_box
+import pytest
 
 
 def test_box_loads_canonically(tmp_path):
@@ -37,6 +38,7 @@ def test_box_loads_canonically(tmp_path):
         == np.uint32  # u16 -> u32 widening
 
 
+@pytest.mark.slow
 def test_box_renders_red_cube(tmp_path):
     cfg = RenderConfig(width=64, height=64, max_samples=4)
     cam = Camera.from_angles([1.2, 1.0, 1.6],

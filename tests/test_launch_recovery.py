@@ -11,6 +11,7 @@ from tpurt.camera import Camera
 from tpurt.config import RenderConfig, SphereLight
 from tpurt.renderer import Renderer, _is_launch_failure
 from tpurt.scene.procedural import write_box_scene
+import pytest
 
 
 class XlaRuntimeError(RuntimeError):
@@ -38,6 +39,7 @@ def test_is_launch_failure_filter():
                                                   "mismatch f32[3] vs f32[4]"))
 
 
+@pytest.mark.slow
 def test_step_recovers_from_killed_launch(tmp_path, monkeypatch, capsys):
     path = write_box_scene(str(tmp_path / "box.gltf"))
     ref = _renderer(path)

@@ -27,6 +27,8 @@ from tpurt.integrator.oracle import render_sample_oracle
 from tpurt.renderer import Renderer
 from tpurt.scene.procedural import write_box_scene, write_sponza_like_scene
 
+pytestmark = pytest.mark.slow
+
 W, H = 64, 48
 
 

@@ -108,6 +108,7 @@ def test_trace_compact_equals_full(tmp_path, monkeypatch, transparent_cols,
     assert (back_prims >= 2).any()  # front quad is prims 0-1
 
 
+@pytest.mark.slow
 def test_trace_compact_wide_kernel_interpret(tmp_path, monkeypatch):
     from tpurt.kernels.pallas_wide import make_wide_kernel_bvh
 
@@ -130,6 +131,7 @@ def test_trace_compact_wide_kernel_interpret(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(h_c.t), np.asarray(h_f.t))
 
 
+@pytest.mark.slow
 def test_shadow_compact_equals_full(tmp_path, monkeypatch):
     """Occlusion recheck with the compacted re-trace: fine-grained alpha
     (all cells mixed) forces uncertain kernel hits through the exact
@@ -162,6 +164,7 @@ def test_shadow_compact_equals_full(tmp_path, monkeypatch):
     assert (a == 1.0).any() and (a == -4.0).any()
 
 
+@pytest.mark.slow
 def test_retrace_gather_equals_sort(tmp_path):
     """The gather lowering of the compacted alpha re-trace must commit
     exactly the sort lowering's hits (closest trace, XLA path)."""
@@ -181,6 +184,7 @@ def test_retrace_gather_equals_sort(tmp_path):
     np.testing.assert_array_equal(np.asarray(h_s.kind), np.asarray(h_g.kind))
 
 
+@pytest.mark.slow
 def test_shadow_gather_equals_sort(tmp_path):
     """Gather vs sort lowering parity for the occlusion recheck's
     compacted re-trace (wide kernel, interpret mode)."""

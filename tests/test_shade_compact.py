@@ -14,6 +14,9 @@ from tpurt.integrator import wavefront as W
 from tpurt.rng import init_state
 from tpurt.scene import build_device_scene, load_gltf
 from tpurt.scene.procedural import write_box_scene
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _setup(tmp_path):

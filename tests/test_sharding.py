@@ -29,6 +29,7 @@ def test_eight_devices_available():
     assert jax.device_count() >= 8
 
 
+@pytest.mark.slow
 def test_spp_sharded_matches_sequential_statistics(tmp_path):
     """8-way spp sharding must produce the same mean image (up to MC noise)
     as sequential accumulation with the same per-sample estimator."""
@@ -84,6 +85,7 @@ def test_sharded_renderer_progressive(tmp_path):
     assert abs(img[..., :3].mean() - seq_img[..., :3].mean()) < 0.05
 
 
+@pytest.mark.slow
 def test_banded_sharded_matches_unbanded(tmp_path):
     """Row banding (chunk_rows) must be invisible in the result: same
     radiance as the single-launch sharded frame, band sizes respecting the
@@ -105,6 +107,7 @@ def test_banded_sharded_matches_unbanded(tmp_path):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(banded))
 
 
+@pytest.mark.slow
 def test_sharded_alpha_tested_scene_matches(tmp_path):
     """Alpha-tested geometry under shard_map (VERDICT r3 missing #5): the
     any-hit re-trace loop (raytrace.rahit semantics) must behave
@@ -153,6 +156,7 @@ def test_sharded_alpha_tested_scene_matches(tmp_path):
     assert stats.physical == seq_stats_total[1]
 
 
+@pytest.mark.slow
 def test_sharded_spp_per_launch(tmp_path):
     """cfg.spp_per_launch batches extra samples inside each shard: one
     launch delivers n_spp * spp_per_launch samples, matching the

@@ -8,6 +8,7 @@ from tpurt.camera import Camera
 from tpurt.config import RenderConfig, SphereLight
 from tpurt.renderer import Renderer
 from tpurt.scene.procedural import write_box_scene
+import pytest
 
 
 def _renderer(path, k):
@@ -19,6 +20,7 @@ def _renderer(path, k):
     )
 
 
+@pytest.mark.slow
 def test_spp_batched_matches_sequential(tmp_path):
     path = write_box_scene(str(tmp_path / "box.gltf"))
     seq = _renderer(path, 1)

@@ -4,6 +4,7 @@ benchmarks/tpu_validation.py)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpurt.bvh import build_triangle_bvh, intersect_brute_force
 from tpurt.kernels.pallas_wide import (
@@ -103,6 +104,7 @@ def test_wide_occlusion_matches_oracle_interpret():
     np.testing.assert_array_equal(np.asarray(blocked), expect)
 
 
+@pytest.mark.slow
 def test_wide_occlusion_alpha_semantics():
     """Alpha-testable triangles (mask bit 16) must surface as uncertain
     closest hits, not definite blocks; transparent cells are skipped."""
@@ -129,6 +131,7 @@ def test_wide_occlusion_alpha_semantics():
     assert (np.asarray(prim2) == -1).all()
 
 
+@pytest.mark.slow
 def test_wide_occlusion_opaque_cells_block():
     """Fully-opaque cells of alpha-TESTED triangles are definite blockers
     (occlusion early-exit), unlike undecided cells which stay uncertain."""
@@ -157,6 +160,7 @@ def test_wide_occlusion_opaque_cells_block():
     assert not np.asarray(blocked0).any()
 
 
+@pytest.mark.slow
 def test_wide_matches_binary_kernel():
     """Wide and binary kernels are drop-in equals on the same TriBVH."""
     from tpurt.kernels.experimental.pallas_traverse import make_kernel_bvh
@@ -183,6 +187,7 @@ def test_pick_group_size_wide_scales():
     assert pick_group_size_wide(300_000) == 8  # wide tables keep G=8 at scale
 
 
+@pytest.mark.slow
 def test_wide_kernel_gate_parity():
     """The cond-gated step structure (gate=True, used for incoherent
     secondary batches) must produce bit-identical hits to the predicated
@@ -237,6 +242,7 @@ def test_bf16_round_conservative_randoms():
     assert (up >= x).all()
 
 
+@pytest.mark.slow
 def test_bf16_tables_identical_hits():
     """bf16 boxes only widen node visits, so closest hits and occlusion
     results are bit-identical to the f32 tables."""
@@ -266,6 +272,7 @@ def test_bf16_tables_identical_hits():
     np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
 
 
+@pytest.mark.slow
 def test_wide_kernel_dual_pop_parity():
     """The dual-pop step (two stack entries per iteration, overlapping
     scalar chains) must produce bit-identical results to the single-pop
@@ -301,6 +308,7 @@ def test_wide_kernel_dual_pop_parity():
     np.testing.assert_array_equal(np.asarray(t0)[nb], np.asarray(t1)[nb])
 
 
+@pytest.mark.slow
 def test_wide_kernel_pair_parity():
     """The paired-packet layout (two packets with independent stacks per
     program) must match the single-packet kernel exactly: closest-hit
@@ -357,6 +365,7 @@ def test_wide16_collapse_covers_every_leaf():
     assert (wide_of_binary[internal] >= 0).all()
 
 
+@pytest.mark.slow
 def test_wide16_matches_oracle_interpret():
     """The 16-ary layout (96 box + 16 link + 16 kind lanes) commits the
     same hits as the oracle and as the 8-ary layout."""
@@ -385,6 +394,7 @@ def test_wide16_matches_oracle_interpret():
     np.testing.assert_array_equal(np.asarray(blocked), expect)
 
 
+@pytest.mark.slow
 def test_no_tmin_and_gate_variants_bit_exact():
     """The static no_tmin (t_min == 0 folded to a constant) and the
     cond-gated occlusion step must produce bit-identical results to the
@@ -416,6 +426,7 @@ def test_no_tmin_and_gate_variants_bit_exact():
         np.testing.assert_array_equal(np.asarray(th0), np.asarray(th1))
 
 
+@pytest.mark.slow
 def test_wide_kernel_descend_parity():
     """The descend-direct step (entry rides the carry; node steps jump
     straight into the nearest hit child instead of push-then-pop) must be
@@ -457,6 +468,7 @@ def test_wide_kernel_descend_parity():
         np.testing.assert_array_equal(np.asarray(t0)[nb], np.asarray(t1)[nb])
 
 
+@pytest.mark.slow
 def test_wide_kernel_descend_no_tmin_parity():
     """descend composes with the static no_tmin variant (the wave-level
     trace configuration the integrator actually dispatches)."""
@@ -577,10 +589,12 @@ def _run_octet_subprocess(which: str):
         f"stdout: {out.stdout[-2000:]}\nstderr: {out.stderr[-2000:]}")
 
 
+@pytest.mark.slow
 def test_octet_kernel_matches_single_walk():
     _run_octet_subprocess("single_walk")
 
 
+@pytest.mark.slow
 def test_octet_kernel_alpha_masks_parity():
     _run_octet_subprocess("alpha_masks")
 
@@ -603,6 +617,7 @@ if __name__ == "__main__":
     print(f"octet {which} parity OK")
 
 
+@pytest.mark.slow
 def test_sumcol_matches_rolls_collapse():
     """The two hit-mask collapse lowerings (sumcol f32 sum-pack vs the
     bit-rotate fallback) must agree bit-for-bit: same committed t/prim
@@ -632,6 +647,7 @@ def test_sumcol_matches_rolls_collapse():
     np.testing.assert_array_equal(np.asarray(b_s), np.asarray(b_r))
 
 
+@pytest.mark.slow
 def test_superpacket_matches_single_packet():
     """sup=2 (2048 rays per program, one shared stack/step chain) must
     commit exactly the hits of the single-packet kernel: the superpacket

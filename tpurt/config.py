@@ -160,8 +160,12 @@ class RenderConfig:
     kernel: KernelPolicy = DEFAULT_KERNEL_POLICY
     # ---- wavefront compaction machinery (integrator/wavefront.py) ----
     # capacity LADDER: sort alive-first between late waves and shrink
-    # the batch to 3/4 then 3/8 when survivors fit (trace_paths)
-    compact_ladder: bool = True
+    # the batch to 3/4 then 3/8 when survivors fit (trace_paths).
+    # Default OFF since the round-5 device A/B measured it NEUTRAL
+    # (-0.1% on the 1080p band, benchmarks/compact_ab.json) while its 4
+    # extra wave-site instantiations inflate the compiled program and
+    # its ~20-minute cold remote compile. The flag restores it.
+    compact_ladder: bool = False
     # compacted shade section inside the tail loop: hits-first sort,
     # shade block at n/shade_frac when the hit count fits; 0 = off
     shade_frac: int = 2
