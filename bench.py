@@ -33,8 +33,9 @@ Mechanics kept from r04:
 - A watchdog thread prints the best-so-far JSON record + exits 0 at the
   internal deadline (BENCH_DEADLINE_S, default 900 s) even if the main
   thread is stuck in an uninterruptible tunnel call.
-- The frame renders in 5 IDENTICAL 216-row bands (216 divides 1080; a
-  216x1920 band tiles as 8x128 packets) => exactly ONE XLA compile.
+- The frame renders in IDENTICAL 360-row bands (360 divides 1080; a
+  360x1920 band tiles as 8x128 packets), each tracing
+  BENCH_SPP_PER_LAUNCH samples => exactly ONE XLA compile.
 - A provisional JSON line prints as soon as any timed unit completes;
   the final line supersedes it (the driver parses the last JSON line).
 - The TPU probe gets 120 s in a subprocess, falling back to a CPU smoke
@@ -55,9 +56,13 @@ _T0 = time.perf_counter()
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 # band rows: must divide 1080 and tile into packet rectangles
-# (wavefront.tile_shape: 216 rows x 1920 -> 8x128 tiles). ONE shape for
-# all 5 bands = one compile.
-BAND_ROWS = int(os.environ.get("BENCH_BAND_ROWS", "216"))
+# (wavefront.tile_shape: 360 rows x 1920 -> 8x128 tiles). ONE shape for
+# all bands = one compile. 360x2spp measured +14% over the round-4
+# 216x1 launch shape (benchmarks/band_shape_ab.py): bigger sorted
+# batches pack denser octant-morton packets and amortize per-wave
+# fixed costs.
+BAND_ROWS = int(os.environ.get("BENCH_BAND_ROWS", "360"))
+SPP_PER_LAUNCH = int(os.environ.get("BENCH_SPP_PER_LAUNCH", "2"))
 
 
 def _log(msg: str) -> None:
@@ -201,7 +206,8 @@ def main():
         metric = f"sponza_like_{width}x{height}_mrays_per_sec_cpu"
 
     cfg = RenderConfig(width=width, height=height, max_samples=1024,
-                       chunk_rows=band_rows)
+                       chunk_rows=band_rows,
+                       spp_per_launch=SPP_PER_LAUNCH if on_tpu else 1)
     path = write_sponza_like_scene("/tmp/bench_sponza.gltf", **scene_kw)
     _log("procedural scene written")
     cam = Camera.from_angles([0.0, -4.0, 0.0], 0.7, -0.1)
@@ -251,12 +257,16 @@ def main():
                      f"{str(e)[:120]}); retry {attempt + 1}")
                 time.sleep(10.0)
 
+    spp_eff = cfg.spp_per_launch
+
     def mk_record(physical, logical, secs, bands, samples_done, note=None):
         mrays = physical / secs / 1e6 if secs > 0 else 0.0
         # time-to-1024spp projection, reference timer semantics
-        # (Raytracer.cpp:247-253: wall time for 1024 accumulated 1-spp
-        # frames at full resolution)
-        s_per_sample = secs / bands * n_bands if bands else None
+        # (Raytracer.cpp:247-253: wall time for 1024 accumulated spp at
+        # full resolution; each timed band delivers spp_eff samples for
+        # its rows)
+        s_per_sample = (secs / (bands * spp_eff) * n_bands
+                        if bands else None)
         rec = {
             "metric": metric,
             "value": round(mrays, 3),
@@ -314,9 +324,9 @@ def main():
                 _log("deadline margin reached; stopping early")
                 BEST.emit(final=True)
                 return
-        done_samples = s
+        done_samples = s * spp_eff
         BEST.update(mk_record(physical, logical, secs, bands, done_samples))
-        _log(f"sample {s} done: {physical / 1e6:.1f} Mrays physical in "
+        _log(f"sample batch {s} done: {physical / 1e6:.1f} Mrays physical in "
              f"{secs:.2f}s ({physical / secs / 1e6:.3f} Mrays/s)")
         # stop adding samples when less than ~1.3x one sample's cost remains
         if s < samples and _remaining() < 1.3 * secs / s + 30.0:
