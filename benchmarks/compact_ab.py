@@ -84,11 +84,13 @@ def main():
         "shade_off": dataclasses.replace(base, shade_frac=0),
         "retrace4": dataclasses.replace(base, retrace_frac=4),
         "retrace0": dataclasses.replace(base, retrace_frac=0),
-        # gather lowering for ALL compacted sections (re-trace slices,
-        # shade section, capacity ladder): one 2-col index sort +
+        # gather lowerings per section: one 2-col index sort +
         # cap-sized gathers/scatters instead of full-width variadic
         # sorts both ways
-        "gather": dataclasses.replace(base, compact_gather=True),
+        "gather": dataclasses.replace(base, retrace_gather=True,
+                                      shade_gather=True,
+                                      ladder_gather=True),
+        "rgather": dataclasses.replace(base, retrace_gather=True),
     }
     names = [v for v in args.variants.split(",") if v]
     variants = {k: all_variants[k] for k in names}

@@ -177,7 +177,7 @@ def test_retrace_gather_equals_sort(tmp_path):
 
     h_s = _run_trace(scene, bvh, o, d, cfg, interpret=False)
     h_g = _run_trace(scene, bvh, o, d,
-                     dataclasses.replace(cfg, compact_gather=True),
+                     dataclasses.replace(cfg, retrace_gather=True),
                      interpret=False)
     np.testing.assert_array_equal(np.asarray(h_s.prim), np.asarray(h_g.prim))
     np.testing.assert_array_equal(np.asarray(h_s.t), np.asarray(h_g.t))
@@ -206,7 +206,7 @@ def test_shadow_gather_equals_sort(tmp_path):
     out_s = W._trace_shadow(scene, kb, o, d, act, tp, cfg, has_alpha=True,
                             interpret=True)
     out_g = W._trace_shadow(scene, kb, o, d, act, tp,
-                            dataclasses.replace(cfg, compact_gather=True),
+                            dataclasses.replace(cfg, retrace_gather=True),
                             has_alpha=True, interpret=True)
     for c, f in zip(out_s, out_g):
         np.testing.assert_array_equal(np.asarray(c), np.asarray(f))

@@ -85,7 +85,7 @@ def test_compact_gather_equals_sort(tmp_path, monkeypatch):
                              has_alpha=False)
     rad_gath = W.trace_paths(
         scene, bvh, o, d, state,
-        cfg=dataclasses.replace(cfg, compact_gather=True),
+        cfg=dataclasses.replace(cfg, shade_gather=True, ladder_gather=True),
         has_alpha=False)
     np.testing.assert_array_equal(np.asarray(rad_sort),
                                   np.asarray(rad_gath))

@@ -237,7 +237,13 @@ def closest_hit(bvh, tri_pos, lights, o, d, t_min, t_max,
         and not (policy.pair_closest or policy.dual_closest),
         no_tmin=no_tmin, cell_masks=cell_masks,
         octet=policy.octet_closest, unroll=policy.unroll,
-        sumcol=policy.sumcol, sup=policy.sup_closest,
+        sumcol=policy.sumcol,
+        # superpacket on INCOHERENT dispatches only: measured +7..11%
+        # there across three races, while the coherent camera wave reads
+        # -3..-17% under sup2 (its packets' unions already coincide, so
+        # the chain amortization buys nothing and register pressure
+        # costs)
+        sup=policy.sup_closest if incoherent else 1,
         resident_budget=policy.resident_budget)
 
     n = o.shape[0]

@@ -86,9 +86,11 @@ class KernelPolicy:
     octet_occlusion: int = 0
     # superpacket width: sup*1024 rays share one program / one scalar
     # step chain (pallas_wide._wide_packets `sup`); 1 = off. Defaults
-    # from the round-5 block-interleaved races (docs/PERFORMANCE.md):
-    # closest 2 (incoherent +7%, the frame-dominant class), occlusion 4
-    # (+11-24%).
+    # from three round-5 block-interleaved races (docs/PERFORMANCE.md):
+    # closest 2, applied by the dispatcher to INCOHERENT traces only
+    # (+7..11% there; the coherent camera wave measured -3..-17% under
+    # it), occlusion 4 (+11..31%; requires the exact sumcol fold — see
+    # pallas_wide._wide_kernel's accumulator bound note).
     sup_closest: int = 2
     sup_occlusion: int = 4
     sumcol: bool = True
@@ -172,12 +174,16 @@ class RenderConfig:
     # compacted alpha re-trace: rejected rays sort into an n/retrace_frac
     # slice for the re-trace relaunch + texture recheck; 0 = full-width
     retrace_frac: int = 8
-    # compaction lowering for the re-trace slices: True = one 2-column
-    # index sort + cap-sized gathers in / cap-sized scatters out;
-    # False = full-width variadic sorts both ways (the round-2 design,
-    # sized under since-retracted microbench numbers). A/B on hardware
-    # via benchmarks/compact_ab.py.
-    compact_gather: bool = False
+    # compaction lowering per section: True = one 2-column index sort +
+    # cap-sized gathers in / cap-sized scatters out; False = full-width
+    # variadic sorts both ways. Split per section because their
+    # economics differ wildly: the re-trace slices are n/8 with ~6
+    # output columns, the shade section is n/2 with 17 output columns
+    # (the round-5 bundled A/B measured the bundle at +10.3% — the
+    # shade scatters dominate). A/B via benchmarks/compact_ab.py.
+    retrace_gather: bool = False
+    shade_gather: bool = False
+    ladder_gather: bool = False
 
     @property
     def tan_half_fov(self) -> float:

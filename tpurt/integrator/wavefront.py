@@ -263,7 +263,7 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
         # hit (the caller masks every output by `rej`)
         o, d, t_min, rej = args
         key = _octant_morton_key(bvh, o, d, rej)
-        if cfg.compact_gather:
+        if cfg.retrace_gather:
             idx = _take_idx(key, cap)
             oc, dc = o[idx], d[idx]
             tm, rj = t_min[idx], rej[idx]
@@ -281,7 +281,7 @@ def _trace(scene, bvh, o, d, t_min0, active, include_spheres, cfg: RenderConfig,
             return_pending=use_pending, policy=cfg.kernel,
         )
         nh, npend = out if use_pending else (out, None)
-        if cfg.compact_gather:
+        if cfg.retrace_gather:
             t = jnp.full(n, cfg.t_max, jnp.float32).at[idx].set(nh.t)
             kind = jnp.full(n, KIND_MISS, jnp.int32).at[idx].set(nh.kind)
             prim = jnp.full(n, -1, jnp.int32).at[idx].set(nh.prim)
@@ -411,7 +411,7 @@ def _trace_shadow(scene, bvh, o, d, active, throughput, cfg: RenderConfig,
             def _compact_retrace(args):
                 t_min, rej = args
                 key = _octant_morton_key(bvh, o, d, rej)
-                if cfg.compact_gather:
+                if cfg.retrace_gather:
                     idx = _take_idx(key, cap)
                     b2, h2 = occlusion_hit(
                         bvh, o[idx], d[idx], t_min[idx], t_limit[idx],
@@ -1053,7 +1053,7 @@ def trace_paths(
             with jax.named_scope("shade_compact"):
                 outs = jax.lax.cond(
                     jnp.sum(is_tri.astype(jnp.int32)) <= cap,
-                    compact_gather_fn if cfg.compact_gather else compact_fn,
+                    compact_gather_fn if cfg.shade_gather else compact_fn,
                     shade_nee, shade_args)
         else:
             outs = shade_nee(shade_args)
@@ -1228,7 +1228,7 @@ def trace_paths(
         alive = jnp.sum(live_ct.astype(jnp.int32))
         return jax.lax.cond(
             alive <= cap,
-            compact_gather_fn if cfg.compact_gather else compact_fn,
+            compact_gather_fn if cfg.ladder_gather else compact_fn,
             full_fn, args)
 
     if not caps:

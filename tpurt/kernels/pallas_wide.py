@@ -586,9 +586,22 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
         #   rolls: bit-packed i32 + 10 dependent OR-rotations — ~680
         #     ns/step, the dominant phase of the round-3 kernel.
         if sumcol:
-            # shaped like the ray registers: (8,128) single-packet, or
-            # (sup*8, 128) when a superpacket shares this step chain
-            accs = [jnp.zeros(ox.shape, jnp.float32)
+            # Exactness bound: an accumulator packs two slots at 2^12
+            # spacing and is later sum-reduced over ALL its lanes; the
+            # sum must stay inside f32's exact-integer range:
+            #   lanes*(4096+1) <= 2^24  =>  lanes <= 4094.
+            # A superpacket of sup >= 4 has sup*1024 >= 4096 lanes and
+            # OVERFLOWS (measured: silently corrupted hitmasks at sup=4
+            # — wrong prim AND t on ~0.1% of rays). For those widths
+            # each slot's scaled indicator is max-FOLDED to one (8,128)
+            # register before accumulation (any-hit semantics survive a
+            # max; 0/scale values can't mix across slot parities because
+            # the fold happens per slot, pre-packing), restoring the
+            # 1024-lane bound for any sup.
+            sup_blocks = ox.shape[0] // _SUB
+            fold_acc = sup_blocks * _SUB * _LANE * 4097 > 2 ** 24
+            acc_shape = (_SUB, _LANE) if fold_acc else ox.shape
+            accs = [jnp.zeros(acc_shape, jnp.float32)
                     for _ in range(arity // 2)]
         else:
             hitbits = jnp.zeros(ox.shape, jnp.int32)
@@ -609,7 +622,16 @@ def _wide_kernel(oct_ref, nb_ref, tr_ref,
             hit_s = (tn <= tf) & active
             if sumcol:
                 scale = jnp.float32(1.0 if s % 2 == 0 else 4096.0)
-                accs[s // 2] = accs[s // 2] + jnp.where(hit_s, scale, 0.0)
+                ind = jnp.where(hit_s, scale, 0.0)
+                if fold_acc:
+                    # fold the superpacket's sub-blocks to (8,128) by
+                    # max BEFORE accumulating (see bound note above)
+                    folded = ind[0:_SUB]
+                    for b in range(1, sup_blocks):
+                        folded = jnp.maximum(
+                            folded, ind[b * _SUB:(b + 1) * _SUB])
+                    ind = folded
+                accs[s // 2] = accs[s // 2] + ind
             else:
                 hitbits = hitbits | jnp.where(hit_s, jnp.int32(1 << s),
                                               jnp.int32(0))
