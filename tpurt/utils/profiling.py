@@ -114,6 +114,17 @@ def enable_compilation_cache(cache_dir: str = None):
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache everything, however quick: tunnel compiles are never quick
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Strip python tracebacks from MLIR locations: the cache key
+        # hashes the lowered module INCLUDING location metadata, so with
+        # tracebacks embedded the key changes with the repo's ABSOLUTE
+        # PATH and with any line shift in the caller (measured round 5:
+        # three benchmarks of identical code produced three distinct
+        # keys; a fresh clone at a different path can never hit a
+        # shipped entry). With locations stripped, entries are keyed by
+        # computation alone. TPURT_KEEP_LOCATIONS=1 restores them (the
+        # device-trace profiler attributes time by source line).
+        if os.environ.get("TPURT_KEEP_LOCATIONS") != "1":
+            jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception:  # pragma: no cover - jax version drift
         pass
 
