@@ -141,6 +141,39 @@ def _probe_tpu(timeout_s: float = 120.0) -> bool:
         return False
 
 
+_CANON = "/tmp/tpurt_bench_root"
+
+
+def _canonicalize_repo_path() -> None:
+    """Re-exec this bench through a fixed symlink so module file paths —
+    and therefore the XLA persistent-cache key, whose residual path
+    dependence survives even location-stripped lowering (measured: the
+    same code at /root/repo and /tmp/clone_b produced different keys;
+    reruns at ONE path hit with a 61 s warmup) — are identical no matter
+    where the repo was cloned. The committed warmstart entries were
+    generated under this canonical path. Best-effort: any failure just
+    means a one-time ~7-minute compile instead of a hit."""
+    if os.environ.get("BENCH_CANON") == "0" or os.environ.get(
+            "_BENCH_CANON_DONE"):
+        return
+    try:
+        if os.path.islink(_CANON) or os.path.exists(_CANON):
+            os.unlink(_CANON)
+        os.symlink(_REPO, _CANON)
+        env = dict(os.environ)
+        env["_BENCH_CANON_DONE"] = "1"
+        # canonical repo first so `import tpurt` resolves under the
+        # symlink; keep the rest (the axon plugin path in particular)
+        extra = env.get("PYTHONPATH", "")
+        env["PYTHONPATH"] = _CANON + (os.pathsep + extra if extra else "")
+        _log(f"re-exec via canonical path {_CANON} -> {_REPO}")
+        os.execve(sys.executable,
+                  [sys.executable, os.path.join(_CANON, "bench.py")]
+                  + sys.argv[1:], env)
+    except OSError as e:  # pragma: no cover - symlink-hostile filesystems
+        _log(f"canonical-path re-exec unavailable ({e}); continuing")
+
+
 def _use_warmstart() -> bool:
     """Point BOTH caches at the committed benchmarks/warmstart/ bundle
     (scene-cache .npz + XLA persistent-cache entries for exactly this
@@ -175,6 +208,7 @@ def _probe_tpu_with_retries() -> bool:
 
 
 def main():
+    _canonicalize_repo_path()  # before any tpurt/jax import
     threading.Thread(target=_watchdog, daemon=True).start()
     on_tpu = (False if os.environ.get("BENCH_FORCE_CPU") == "1"
               else _probe_tpu_with_retries())
